@@ -1,0 +1,17 @@
+"""Transforms: raw/intensity, label targets, geometric augmentations, generic."""
+
+from .raw import (
+    standardize, normalize, normalize_percentile, RandomContrast, AdditiveGaussianNoise,
+    AdditivePoissonNoise, PoissonNoise, GaussianBlur, RawTransform, get_raw_transform,
+    get_default_mean_teacher_augmentations,
+)
+from .label import (
+    connected_components, labels_to_binary, label_consecutive, MinSizeLabelTransform,
+    BoundaryTransform, NoToBackgroundBoundaryTransform, BoundaryTransformWithIgnoreLabel,
+    AffinityTransform, OneHotTransform, DistanceTransform, PerObjectDistanceTransform,
+)
+from .augmentation import (
+    get_augmentations, AugmentationPipeline, KorniaAugmentationPipeline,
+    RandomElasticDeformation, RandomElasticDeformation3D, AUGMENTATIONS,
+)
+from .generic import Tile, Compose, Rescale, ResizeInputs, ResizeLongestSideInputs, PadIfNecessary
