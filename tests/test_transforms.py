@@ -1,0 +1,149 @@
+import numpy as np
+import pytest
+
+from torch_em_tpu.ops import host as ops
+from torch_em_tpu.transforms import (
+    AffinityTransform, BoundaryTransform, BoundaryTransformWithIgnoreLabel, DistanceTransform,
+    NoToBackgroundBoundaryTransform, OneHotTransform, PerObjectDistanceTransform, get_augmentations,
+    normalize, normalize_percentile, standardize,
+)
+
+
+def _toy_seg():
+    seg = np.zeros((16, 16), dtype="uint32")
+    seg[2:8, 2:8] = 1
+    seg[8:14, 8:14] = 2
+    return seg
+
+
+class TestRawTransforms:
+    def test_standardize(self):
+        x = np.random.rand(32, 32).astype("float32") * 100
+        out = standardize(x)
+        assert abs(out.mean()) < 1e-4
+        assert abs(out.std() - 1) < 1e-3
+
+    def test_normalize(self):
+        x = np.random.rand(32, 32).astype("float32") * 7 - 3
+        out = normalize(x)
+        assert out.min() >= 0 and out.max() <= 1.0 + 1e-6
+
+    def test_normalize_percentile(self):
+        x = np.random.rand(64, 64).astype("float32")
+        out = normalize_percentile(x)
+        assert np.isfinite(out).all()
+
+
+class TestLabelTransforms:
+    def test_boundary_transform(self):
+        seg = _toy_seg()
+        out = BoundaryTransform()(seg)
+        assert out.shape == (1, 16, 16)
+        assert set(np.unique(out)).issubset({0, 1})
+        # boundary must exist at object borders
+        assert out[0, 1:3, 2:8].any()
+
+    def test_boundary_with_binary(self):
+        out = BoundaryTransform(add_binary_target=True)(_toy_seg())
+        assert out.shape == (2, 16, 16)
+        np.testing.assert_array_equal(out[0], (_toy_seg() != 0))
+
+    def test_boundary_ignore_label(self):
+        seg = _toy_seg().astype("int16")
+        seg[0:2, :] = -1
+        out = BoundaryTransformWithIgnoreLabel(ignore_label=-1)(seg)
+        assert (out == -1).any()
+
+    def test_no_to_background_boundary(self):
+        out = NoToBackgroundBoundaryTransform()(_toy_seg().astype("int16"))
+        assert (out == -1).any()  # object-background boundaries masked
+
+    def test_affinity_shapes_and_values(self):
+        offsets = [[-1, 0], [0, -1], [-3, 0], [0, -3]]
+        out = AffinityTransform(offsets=offsets)(_toy_seg())
+        assert out.shape == (4, 16, 16)
+        # disaffinity convention: transitions are 1
+        assert out.max() == 1.0 and out.min() == 0.0
+
+    def test_affinity_with_mask_channel_layout(self):
+        offsets = [[-1, 0], [0, -1]]
+        out = AffinityTransform(offsets=offsets, add_binary_target=True, add_mask=True)(_toy_seg())
+        # (binary + 2 affs) * 2 = 6
+        assert out.shape == (6, 16, 16)
+
+    def test_one_hot(self):
+        seg = _toy_seg()
+        out = OneHotTransform(class_ids=[0, 1, 2])(seg)
+        assert out.shape == (3, 16, 16)
+        np.testing.assert_allclose(out.sum(axis=0), 1.0)
+
+    def test_distance_transform(self):
+        seg = (_toy_seg() == 1).astype("uint32")
+        out = DistanceTransform()(seg)
+        assert out.shape == (16, 16)
+        assert out.max() <= 1.0 + 1e-6  # normalized
+        assert out[4, 4] == 0.0  # inside the object
+
+    def test_distance_transform_empty(self):
+        out = DistanceTransform()(np.zeros((8, 8), dtype="uint32"))
+        assert np.isfinite(out).all()
+
+    def test_per_object_distance(self):
+        out = PerObjectDistanceTransform()(_toy_seg())
+        # foreground + center-distance + boundary-distance
+        assert out.shape == (3, 16, 16)
+        assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-6
+
+
+class TestHostOps:
+    def test_connected_components(self):
+        seg = np.zeros((16, 16), dtype="uint8")
+        seg[:4, :4] = 1
+        seg[8:, 8:] = 1
+        out = ops.connected_components(seg)
+        assert len(np.unique(out)) == 3  # bg + 2 components
+
+    def test_find_boundaries_modes(self):
+        seg = _toy_seg()
+        for mode in ("thick", "inner", "outer"):
+            out = ops.find_boundaries(seg, mode=mode)
+            assert out.dtype == bool
+            assert out.any()
+
+    def test_vector_distance_transform_matches_distance(self):
+        mask = (_toy_seg() == 1).astype("uint32")
+        vec = ops.vector_distance_transform(mask)
+        dist = ops.distance_transform(mask)
+        np.testing.assert_allclose(np.linalg.norm(vec, axis=0), dist, atol=1e-4)
+
+    def test_size_filter(self):
+        seg = _toy_seg()
+        seg[0, 0] = 5  # 1-px object
+        out = ops.size_filter(seg, min_size=4)
+        assert 5 not in np.unique(out) or (out == 5).sum() == 0
+
+
+class TestAugmentations:
+    def test_flip_pipeline_consistency(self):
+        pipe = get_augmentations(ndim=2)
+        raw = np.random.rand(1, 32, 32).astype("float32")
+        labels = (np.random.rand(1, 32, 32) > 0.5).astype("int32")
+        for _ in range(5):
+            r, l = pipe(raw, labels)
+            assert r.shape == raw.shape and l.shape == labels.shape
+            # labels stay binary under nearest-interp geometry
+            assert set(np.unique(l)).issubset({0.0, 1.0})
+
+    def test_elastic_preserves_label_values(self):
+        pipe = get_augmentations(ndim=2, transforms=["RandomElasticDeformation"])
+        labels = np.random.randint(0, 5, (1, 32, 32)).astype("int32")
+        raw = np.random.rand(1, 32, 32).astype("float32")
+        _, l = pipe(raw, labels)
+        assert set(np.unique(l)).issubset(set(np.unique(labels).astype("float32")))
+
+    def test_3d_pipeline(self):
+        pipe = get_augmentations(ndim=3)
+        raw = np.random.rand(1, 8, 16, 16).astype("float32")
+        labels = np.random.randint(0, 3, (1, 8, 16, 16)).astype("int32")
+        r, l = pipe(raw, labels)
+        assert r.shape == raw.shape and l.shape == labels.shape

@@ -1,0 +1,132 @@
+"""Dice losses — the default loss & metric of the framework.
+
+Pure-JAX rebuild of torch_em/loss/dice.py: ``flatten_samples`` (:7) C-first
+flattening, ``dice_score`` (:34) with ``reduce_channel`` in
+{sum, mean, max, min, None}, ``DiceLoss`` (:96), ``DiceLossWithLogits``
+(:136), ``BCEDiceLoss`` (:176), ``BCEDiceLossWithLogits`` (:217). Values match
+the reference formula exactly: ``2 * (x·y) / max(x·x + y·y, eps)``, inverted
+for the loss.
+
+All losses are callables of (pred, target) -> scalar jnp array, fully
+jittable and differentiable; they carry ``init_kwargs`` for checkpoint
+reconstruction like every framework class.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "flatten_samples", "dice_score", "DiceLoss", "DiceLossWithLogits",
+    "BCEDiceLoss", "BCEDiceLossWithLogits",
+]
+
+
+def flatten_samples(input_: jnp.ndarray) -> jnp.ndarray:
+    """Flatten to (C, N * prod(spatial)) — channel axis first (reference dice.py:7)."""
+    num_channels = input_.shape[1]
+    perm = (1, 0) + tuple(range(2, input_.ndim))
+    permuted = jnp.transpose(input_, perm)
+    return permuted.reshape(num_channels, -1)
+
+
+def dice_score(
+    input_: jnp.ndarray,
+    target: jnp.ndarray,
+    invert: bool = False,
+    channelwise: bool = True,
+    reduce_channel: Optional[str] = "sum",
+    eps: float = 1e-7,
+) -> jnp.ndarray:
+    """Dice score between input and target (reference dice.py:34)."""
+    if input_.shape != target.shape:
+        raise ValueError(f"Expect input and target of same shape, got: {input_.shape}, {target.shape}.")
+
+    if channelwise:
+        input_ = flatten_samples(input_)
+        target = flatten_samples(target)
+        numerator = jnp.sum(input_ * target, axis=-1)
+        denominator = jnp.sum(input_ * input_, axis=-1) + jnp.sum(target * target, axis=-1)
+        channelwise_score = 2 * (numerator / jnp.clip(denominator, min=eps))
+        if invert:
+            channelwise_score = 1.0 - channelwise_score
+        if reduce_channel is None:
+            return channelwise_score
+        if reduce_channel == "sum":
+            return jnp.sum(channelwise_score)
+        if reduce_channel == "mean":
+            return jnp.mean(channelwise_score)
+        if reduce_channel == "max":
+            return jnp.max(channelwise_score)
+        if reduce_channel == "min":
+            return jnp.min(channelwise_score)
+        raise ValueError(f"Unsupported channel reduction {reduce_channel}")
+
+    numerator = jnp.sum(input_ * target)
+    denominator = jnp.sum(input_ * input_) + jnp.sum(target * target)
+    score = 2.0 * (numerator / jnp.clip(denominator, min=eps))
+    if invert:
+        score = 1.0 - score
+    return score
+
+
+def _bce(pred, target, eps=1e-7):
+    pred = jnp.clip(pred, eps, 1.0 - eps)
+    return -jnp.mean(target * jnp.log(pred) + (1.0 - target) * jnp.log(1.0 - pred))
+
+
+def _bce_with_logits(logits, target):
+    return jnp.mean(jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+class DiceLoss:
+    """Dice error between binary input and target (reference dice.py:96)."""
+
+    def __init__(self, channelwise: bool = True, eps: float = 1e-7, reduce_channel: Optional[str] = "sum"):
+        if reduce_channel not in ("sum", "mean", "max", "min", None):
+            raise ValueError(f"Unsupported channel reduction {reduce_channel}")
+        self.channelwise = channelwise
+        self.eps = eps
+        self.reduce_channel = reduce_channel
+        self.init_kwargs = {"channelwise": channelwise, "eps": eps, "reduce_channel": reduce_channel}
+
+    def __call__(self, input_: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        return dice_score(
+            input_, target, invert=True, channelwise=self.channelwise,
+            reduce_channel=self.reduce_channel, eps=self.eps,
+        )
+
+
+class DiceLossWithLogits(DiceLoss):
+    """Dice error on sigmoided logits (reference dice.py:136)."""
+
+    def __call__(self, input_: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        return super().__call__(jax.nn.sigmoid(input_), target)
+
+
+class BCEDiceLoss:
+    """alpha * BCE + beta * Dice (reference dice.py:176)."""
+
+    def __init__(self, alpha: float = 1.0, beta: float = 1.0, channelwise: bool = True, eps: float = 1e-7):
+        self.alpha = alpha
+        self.beta = beta
+        self.channelwise = channelwise
+        self.eps = eps
+        self.init_kwargs = {"alpha": alpha, "beta": beta, "channelwise": channelwise, "eps": eps}
+
+    def __call__(self, input_: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        loss_dice = dice_score(input_, target, invert=True, channelwise=self.channelwise, eps=self.eps)
+        loss_bce = _bce(input_, target)
+        return self.alpha * loss_dice + self.beta * loss_bce
+
+
+class BCEDiceLossWithLogits(BCEDiceLoss):
+    """alpha * BCEWithLogits + beta * Dice-on-sigmoid (reference dice.py:217)."""
+
+    def __call__(self, input_: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        loss_dice = dice_score(
+            jax.nn.sigmoid(input_), target, invert=True, channelwise=self.channelwise, eps=self.eps
+        )
+        loss_bce = _bce_with_logits(input_, target)
+        return self.alpha * loss_dice + self.beta * loss_bce

@@ -438,5 +438,6 @@ def get_augmentations(ndim: Union[int, str] = 2, transforms: Optional[Sequence[s
             transforms = DEFAULT_ANISOTROPIC_AUGMENTATIONS
     augs = [create_augmentation(t) if isinstance(t, str) else t for t in transforms]
     pipeline = AugmentationPipeline(*augs, dtype=dtype)
-    pipeline.init_kwargs = {"ndim": ndim, "transforms": list(transforms), "dtype": "float32"}
+    pipeline.init_kwargs = {"ndim": ndim, "transforms": [t for t in transforms if isinstance(t, str)] or None}
+    pipeline.factory = "torch_em_tpu.transforms.augmentation.get_augmentations"
     return pipeline
