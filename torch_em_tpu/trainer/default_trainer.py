@@ -185,7 +185,10 @@ class DefaultTrainer:
             pred, new_state = out
         else:
             pred, new_state = out, state
-        loss = self.loss(pred, y)
+        if getattr(self.loss, "needs_rng", False):
+            loss = self.loss(pred, y, rng=rng if rng is not None else jax.random.PRNGKey(0))
+        else:
+            loss = self.loss(pred, y)
         return loss, (pred, new_state)
 
     def _build_steps(self):
