@@ -1,0 +1,99 @@
+"""Benchmark: UNet3d (CREMI anisotropic config) training throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The tracked number is train patches/sec/chip for the CREMI north-star config
+(AnisotropicUNet, patch (32, 256, 256), bf16 compute / f32 params) —
+BASELINE.md: the reference publishes no throughput numbers, so vs_baseline
+is null and the driver records absolute values per round.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from torch_em_tpu.loss import DiceLoss
+    from torch_em_tpu.models import AnisotropicUNet
+    from torch_em_tpu.trainer.optimizers import OptimizerSpec
+
+    patch = tuple(int(x) for x in os.environ.get("BENCH_PATCH", "32,256,256").split(","))
+    batch_size = int(os.environ.get("BENCH_BATCH", "1"))
+    n_warmup, n_steps = 3, 15
+
+    model = AnisotropicUNet(
+        in_channels=1, out_channels=1,
+        scale_factors=[[1, 2, 2], [1, 2, 2], [2, 2, 2], [2, 2, 2]],
+        initial_features=32, final_activation="Sigmoid", anisotropic_kernel=True,
+        dtype=jnp.bfloat16,
+    )
+    loss_obj = DiceLoss()
+    tx = OptimizerSpec("adamw", lr=1e-4).build()
+
+    device = jax.devices()[0]
+    variables = jax.device_put(model.variables, device)
+    opt_state = jax.device_put(tx.init(variables["params"]), device)
+
+    def train_step(variables, opt_state, x, y):
+        def loss_fn(p):
+            pred = model.module.apply({"params": p}, x, train=True)
+            return loss_obj(pred, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        updates, opt_state_new = tx.update(grads, opt_state, variables["params"])
+        params = jax.tree_util.tree_map(lambda p, u: p + u, variables["params"], updates)
+        return {"params": params}, opt_state_new, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.random((batch_size, 1) + patch, dtype=np.float32), device)
+    y = jax.device_put((rng.random((batch_size, 1) + patch) > 0.5).astype(np.float32), device)
+
+    # compile + warmup
+    lowered = step.lower(variables, opt_state, x, y)
+    compiled = lowered.compile()
+    try:
+        cost = compiled.cost_analysis()
+        flops_per_step = float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception:
+        flops_per_step = 0.0
+
+    for _ in range(n_warmup):
+        variables, opt_state, loss = step(variables, opt_state, x, y)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        variables, opt_state, loss = step(variables, opt_state, x, y)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / dt
+    patches_per_sec = steps_per_sec * batch_size
+    mvoxels_per_sec = patches_per_sec * np.prod(patch) / 1e6
+    # v5e peak: 197 TFLOP/s bf16
+    mfu = (flops_per_step * steps_per_sec) / 197e12 if flops_per_step else None
+
+    print(json.dumps({
+        "metric": "unet3d_train_patches_per_sec_chip",
+        "value": round(patches_per_sec, 4),
+        "unit": "patches/s",
+        "vs_baseline": None,
+        "details": {
+            "patch": list(patch), "batch_size": batch_size,
+            "mvoxels_per_sec": round(float(mvoxels_per_sec), 2),
+            "s_per_iter": round(dt / n_steps, 4),
+            "mfu_vs_v5e_peak": None if mfu is None else round(float(mfu), 4),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
