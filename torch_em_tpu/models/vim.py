@@ -1,0 +1,253 @@
+"""ViM-UNet: Vision-Mamba encoder + UNETR-style decoder.
+
+Rebuild of torch_em/model/vim.py (``ViM`` :30 over the hustvl/Vim fork,
+``get_vim_encoder`` :200, ``get_vimunet_model`` :231; arXiv:2404.07705).
+The reference depends on the mamba-ssm CUDA kernels; here the selective scan
+(S6) is implemented natively in JAX with ``lax.associative_scan`` — the
+parallel-prefix formulation maps well onto the TPU vector units — and the
+vision blocks run the scan bidirectionally like Vim.
+"""
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import Model, get_activation
+from .unet import ConvBlock, Upsampler
+
+__all__ = ["MambaBlock", "ViM", "get_vim_encoder", "get_vimunet_model", "VIM_CONFIGS"]
+
+
+def _selective_scan(u, delta, A, B, C, D):
+    """S6 selective scan via associative scan.
+
+    u: (L, E_in); delta: (L, E_in); A: (E_in, N); B, C: (L, N); D: (E_in,)
+    h_t = exp(delta_t A) h_{t-1} + delta_t B_t u_t;   y_t = C_t h_t + D u_t
+    """
+    # discretize
+    dA = jnp.exp(delta[..., None] * A[None])                    # (L, E, N)
+    dBu = delta[..., None] * B[:, None, :] * u[..., None]       # (L, E, N)
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        return a_l * a_r, a_r * b_l + b_r
+
+    _, h = jax.lax.associative_scan(combine, (dA, dBu), axis=0)
+    y = jnp.einsum("len,ln->le", h, C)
+    return y + u * D[None]
+
+
+class MambaBlock(nn.Module):
+    """Bidirectional Mamba (S6) block for vision sequences."""
+
+    dim: int
+    state_dim: int = 16
+    expand: int = 2
+    conv_width: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, L, D)
+        b, l, d = x.shape
+        e = self.dim * self.expand
+        residual = x
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+
+        xz = nn.Dense(2 * e, dtype=self.dtype, name="in_proj")(x)
+        xs, z = jnp.split(xz, 2, axis=-1)
+
+        # depthwise causal conv along the sequence
+        conv_kernel = self.param("conv_kernel", nn.initializers.lecun_normal(),
+                                 (self.conv_width, 1, e))
+        padded = jnp.pad(xs, ((0, 0), (self.conv_width - 1, 0), (0, 0)))
+        xs = jax.lax.conv_general_dilated(
+            padded.astype(self.dtype), conv_kernel.astype(self.dtype), window_strides=(1,),
+            padding="VALID", dimension_numbers=("NLC", "LIO", "NLC"), feature_group_count=e,
+        )
+        xs = nn.silu(xs)
+
+        # SSM parameters (input-dependent B, C, delta)
+        A_log = self.param("A_log", lambda k, s: jnp.log(jnp.broadcast_to(
+            jnp.arange(1, s[1] + 1, dtype=jnp.float32), s)), (e, self.state_dim))
+        A = -jnp.exp(A_log)
+        D = self.param("D", nn.initializers.ones, (e,))
+        bc_dt = nn.Dense(2 * self.state_dim + 1, dtype=self.dtype, name="x_proj")(xs)
+        B = bc_dt[..., : self.state_dim]
+        C = bc_dt[..., self.state_dim: 2 * self.state_dim]
+        dt = nn.softplus(bc_dt[..., -1:] + self.param("dt_bias", nn.initializers.zeros, (1,)))
+        delta = jnp.broadcast_to(dt, xs.shape)
+
+        def scan_one(u_seq, d_seq, b_seq, c_seq):
+            return _selective_scan(u_seq, d_seq, A, b_seq, c_seq, D)
+
+        # forward direction
+        y_fwd = jax.vmap(scan_one)(xs, delta, B, C)
+        # backward direction (bidirectional like Vim)
+        y_bwd = jax.vmap(scan_one)(
+            jnp.flip(xs, axis=1), jnp.flip(delta, axis=1), jnp.flip(B, axis=1), jnp.flip(C, axis=1)
+        )
+        y = y_fwd + jnp.flip(y_bwd, axis=1)
+
+        y = y * nn.silu(z)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(y)
+        return residual + out
+
+
+class ViM(nn.Module):
+    """Vision Mamba encoder (reference vim.py:30): patch embed + pos embed +
+    bidirectional Mamba blocks; returns the final feature map and intermediate
+    features for the decoder skips (channel-first)."""
+
+    img_size: int = 1024
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 192
+    depth: int = 24
+    state_dim: int = 16
+    feature_indexes: Tuple[int, ...] = (5, 11, 17, 23)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)
+        h = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size), name="patch_embed")(h)
+        b, gh, gw, c = h.shape
+
+        pos_grid = self.img_size // self.patch_size
+        pos_embed = self.param("pos_embed", nn.initializers.normal(0.02),
+                               (1, pos_grid, pos_grid, self.embed_dim))
+        if (gh, gw) != (pos_grid, pos_grid):
+            pos_embed = jax.image.resize(pos_embed, (1, gh, gw, self.embed_dim), method="bilinear")
+        h = (h + pos_embed.astype(self.dtype)).reshape(b, gh * gw, c)
+
+        intermediates = []
+        for i in range(self.depth):
+            h = MambaBlock(self.embed_dim, state_dim=self.state_dim, dtype=self.dtype,
+                           name=f"block{i}")(h)
+            if i in self.feature_indexes:
+                fmap = h.reshape(b, gh, gw, c)
+                intermediates.append(jnp.transpose(fmap, (0, 3, 1, 2)).astype(jnp.float32))
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_f")(h)
+        fmap = jnp.transpose(h.reshape(b, gh, gw, c), (0, 3, 1, 2)).astype(jnp.float32)
+        return fmap, intermediates
+
+
+VIM_CONFIGS = {
+    "vim_t": dict(embed_dim=192, depth=24, feature_indexes=(5, 11, 17, 23)),
+    "vim_s": dict(embed_dim=384, depth=24, feature_indexes=(5, 11, 17, 23)),
+    "vim_b": dict(embed_dim=768, depth=24, feature_indexes=(5, 11, 17, 23)),
+}
+
+
+def get_vim_encoder(model_type: str = "vim_t", with_cls_token: bool = True,
+                    img_size: int = 1024, in_chans: int = 3, dtype=jnp.float32, **kwargs) -> ViM:
+    """Build a ViM encoder (reference vim.py:200)."""
+    if model_type not in VIM_CONFIGS:
+        raise ValueError(f"Unknown vim model {model_type}; available: {sorted(VIM_CONFIGS)}")
+    cfg = dict(VIM_CONFIGS[model_type])
+    cfg.update(kwargs)
+    return ViM(img_size=img_size, in_chans=in_chans, dtype=dtype, **cfg)
+
+
+class _ViMUNetModule(nn.Module):
+    """UNETR-style decoder over a ViM encoder (reference vim.py:231)."""
+
+    model_type: str = "vim_t"
+    img_size: int = 1024
+    out_channels: int = 1
+    in_chans: int = 3
+    initial_features: int = 64
+    depth: int = 3
+    final_activation: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = dict(VIM_CONFIGS[self.model_type])
+        encoder = ViM(img_size=self.img_size, in_chans=self.in_chans, dtype=self.dtype,
+                      name="encoder", **cfg)
+        if x.shape[1] == 1 and self.in_chans == 3:
+            x = jnp.repeat(x, 3, axis=1)
+        original_shape = x.shape[-2:]
+
+        z12, from_encoder = encoder(x, train=train)
+
+        gain = 2
+        feats = [self.initial_features * gain ** i for i in range(self.depth + 1)][::-1]
+
+        def to_last(t):
+            return jnp.transpose(t, (0, 2, 3, 1)).astype(self.dtype)
+
+        from_encoder = from_encoder[::-1]
+        z9 = _deconv_chain(self, "z9", [feats[0]], to_last(from_encoder[0]), train, self.dtype)
+        z6 = _deconv_chain(self, "z6", feats[:2], to_last(from_encoder[1]), train, self.dtype)
+        z3 = _deconv_chain(self, "z3", feats[:3], to_last(from_encoder[2]), train, self.dtype)
+        z0 = ConvBlock(feats[-1], dim=2, dtype=self.dtype, name="deconv4")(to_last(x), train=train)
+
+        h = ConvBlock(feats[0], dim=2, dtype=self.dtype, name="base")(to_last(z12), train=train)
+        for i, (f, skip) in enumerate(zip(feats[1:], [z9, z6, z3])):
+            h = Upsampler(f, scale_factor=2, dim=2, dtype=self.dtype, name=f"sampler{i}")(h, train=train)
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = ConvBlock(f, dim=2, dtype=self.dtype, name=f"decoder{i}")(h, train=train)
+
+        h = Upsampler(feats[-1], scale_factor=2, dim=2, dtype=self.dtype, name="deconv_out")(h, train=train)
+        if z0.shape[1:3] != h.shape[1:3]:
+            z0 = jax.image.resize(z0, h.shape[:3] + (z0.shape[-1],), method="bilinear")
+        h = jnp.concatenate([h, z0], axis=-1)
+        h = ConvBlock(feats[-1], dim=2, dtype=self.dtype, name="decoder_head")(h, train=train)
+        h = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="out_conv")(h)
+        out = jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
+
+        activation = get_activation(self.final_activation)
+        if activation is not None:
+            out = activation(out)
+        if out.shape[-2:] != tuple(original_shape):
+            out = jax.image.resize(out, out.shape[:2] + tuple(original_shape), method="bilinear")
+        return out
+
+
+def _deconv_chain(parent, prefix, feature_list, h, train, dtype):
+    # constructed inside the parent's compact context, so registration is automatic
+    for i, f in enumerate(feature_list):
+        h = Upsampler(f, scale_factor=2, dim=2, dtype=dtype, name=f"{prefix}_up{i}")(h, train=train)
+        h = ConvBlock(f, dim=2, dtype=dtype, name=f"{prefix}_conv{i}")(h, train=train)
+    return h
+
+
+def get_vimunet_model(
+    out_channels: int = 1,
+    model_type: str = "vim_t",
+    img_size: int = 1024,
+    with_cls_token: bool = True,
+    checkpoint: Optional[str] = None,
+    in_chans: int = 3,
+    final_activation: Optional[str] = None,
+    dtype=jnp.float32,
+    seed: int = 0,
+    **kwargs,
+) -> Model:
+    """Build a ViM-UNet (reference vim.py:231)."""
+    module = _ViMUNetModule(
+        model_type=model_type, img_size=img_size, out_channels=out_channels, in_chans=in_chans,
+        final_activation=final_activation if isinstance(final_activation, str) else None,
+        dtype=dtype,
+    )
+    model = Model(
+        module,
+        init_kwargs={
+            "out_channels": out_channels, "model_type": model_type, "img_size": img_size,
+            "with_cls_token": with_cls_token, "in_chans": in_chans,
+            "final_activation": final_activation,
+        },
+        example_input_shape=(1, in_chans, min(img_size, 128), min(img_size, 128)),
+        in_channels=in_chans, out_channels=out_channels, seed=seed,
+    )
+    model.factory = "torch_em_tpu.models.vim.get_vimunet_model"
+    return model
