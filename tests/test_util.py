@@ -1,0 +1,138 @@
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+import torch_em_tpu as te
+from torch_em_tpu.models import UNet2d
+from torch_em_tpu.transforms import BoundaryTransform
+
+
+@pytest.fixture
+def trained_checkpoint(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    path = str(tmp_path / "data.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("raw", data=np.random.rand(4, 64, 64).astype("float32"))
+        f.create_dataset("labels", data=np.random.randint(0, 4, (4, 64, 64)).astype("uint32"))
+    model = UNet2d(in_channels=1, out_channels=2, depth=2, initial_features=4,
+                   final_activation="Sigmoid")
+    loader = te.default_segmentation_loader(
+        path, "raw", path, "labels", batch_size=2, patch_shape=(1, 32, 32), ndim=2,
+        label_transform=BoundaryTransform(add_binary_target=True), n_samples=4,
+    )
+    trainer = te.default_segmentation_trainer(
+        "util-test", model, loader, loader, mixed_precision=False, device="cpu", logger=None,
+    )
+    trainer.fit(iterations=2)
+    return "./checkpoints/util-test", trainer
+
+
+class TestUtil:
+    def test_get_trainer_and_load_model(self, trained_checkpoint):
+        from torch_em_tpu.utils.util import get_trainer, load_model, model_is_equal
+
+        ckpt, orig_trainer = trained_checkpoint
+        trainer = get_trainer(ckpt, "latest", device="cpu")
+        assert trainer.iteration == 2
+        model = load_model(ckpt, name="latest", device="cpu")
+        assert model_is_equal(model, trainer.model)
+
+    def test_get_normalizer(self, trained_checkpoint):
+        from torch_em_tpu.utils.util import get_normalizer
+
+        _, trainer = trained_checkpoint
+        normalizer = get_normalizer(trainer)
+        out = normalizer(np.random.rand(8, 8).astype("float32") * 50)
+        assert abs(out.mean()) < 1e-3
+
+    def test_reporting(self, trained_checkpoint):
+        from torch_em_tpu.utils.reporting import get_training_summary
+
+        _, trainer = trained_checkpoint
+        md = get_training_summary(trainer, to_md=True)
+        assert "Training Summary" in md
+
+    def test_check_loader(self, trained_checkpoint, tmp_path):
+        from torch_em_tpu.utils.debug import check_loader
+
+        _, trainer = trained_checkpoint
+        paths = check_loader(trainer.train_loader, n_samples=1, save_path=str(tmp_path / "dbg"))
+        assert len(paths) == 1 and os.path.exists(paths[0])
+
+
+class TestModelzoo:
+    def test_export_import_roundtrip(self, trained_checkpoint, tmp_path):
+        from torch_em_tpu.utils.modelzoo import export_bioimageio_model, import_bioimageio_model
+        from torch_em_tpu.utils.util import model_is_equal
+
+        ckpt, trainer = trained_checkpoint
+        export_folder = str(tmp_path / "exported")
+        ok = export_bioimageio_model(
+            ckpt, export_folder, input_data=np.random.rand(1, 32, 32).astype("float32"),
+            name="test-export", checkpoint_name="latest",
+        )
+        assert ok
+        assert os.path.exists(os.path.join(export_folder, "rdf.yaml"))
+        assert os.path.exists(os.path.join(export_folder, "test_input.npy"))
+        model, normalizer = import_bioimageio_model(export_folder)
+        assert model_is_equal(model, trainer.model)
+
+    def test_mws_config(self):
+        from torch_em_tpu.utils.modelzoo import get_mws_config
+
+        cfg = get_mws_config([[-1, 0], [0, -1]])
+        assert cfg["mws"]["offsets"] == [[-1, 0], [0, -1]]
+
+
+class TestValidation:
+    def test_validate_checkpoint(self, trained_checkpoint):
+        from torch_em_tpu.utils.validation import validate_checkpoint
+
+        ckpt, _ = trained_checkpoint
+        results = validate_checkpoint(
+            ckpt, gpu_ids=["cpu"], max_samples=1, visualize=False,
+            block_shape=(32, 32), halo=(8, 8),
+        )
+        assert len(results) == 1
+        assert results[0].shape[0] == 2  # two output channels
+
+
+class TestGridSearch:
+    def test_grid_search(self, tmp_path):
+        from torch_em_tpu.utils.grid_search import (
+            BoundaryBasedInstanceSegmentation, instance_segmentation_grid_search,
+        )
+        from torch_em_tpu.utils.test import make_gt
+        from torch_em_tpu.ops.host import find_boundaries
+
+        # build a fake "model" that returns fg+boundary channels from gt
+        gt = make_gt((64, 64)).astype("uint32")
+        boundaries = find_boundaries(gt).astype("float32")
+        fg = (gt > 0).astype("float32")
+
+        class FakeSegmenter:
+            def initialize(self, image):
+                self._prediction = np.stack([fg, boundaries])
+
+            is_initialized = True
+
+            def generate(self, min_size=10, threshold1=0.5, threshold2=0.5):
+                from torch_em_tpu.utils.segmentation import watershed_from_components
+
+                return watershed_from_components(
+                    self._prediction[1], self._prediction[0],
+                    min_size=min_size, threshold1=threshold1, threshold2=threshold2,
+                )
+
+        im_path = str(tmp_path / "im.npy")
+        gt_path = str(tmp_path / "gt.npy")
+        np.save(im_path, fg)
+        np.save(gt_path, gt)
+        best_params, best_score = instance_segmentation_grid_search(
+            FakeSegmenter(), [im_path], [gt_path], str(tmp_path / "results"),
+            grid_search_values={"threshold1": [0.5], "min_size": [5, 10]},
+        )
+        assert "min_size" in best_params
+        assert 0 <= best_score <= 1

