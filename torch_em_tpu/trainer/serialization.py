@@ -76,6 +76,16 @@ def serialize_value(value) -> Any:
                 "kwargs": serialize_value(dict(value.init_kwargs))["__dict__"],
             }
         }
+    import functools
+
+    if isinstance(value, functools.partial):
+        return {
+            "__partial__": {
+                "func": path_of(value.func),
+                "args": [serialize_value(a) for a in value.args],
+                "keywords": {k: serialize_value(v) for k, v in value.keywords.items()},
+            }
+        }
     if hasattr(value, "init_kwargs"):
         # objects built by a factory function record it via a `.factory` path
         target = value.factory if isinstance(getattr(value, "factory", None), str) else path_of(type(value))
@@ -106,6 +116,14 @@ def deserialize_value(spec) -> Any:
             return np.asarray(spec["__ndarray__"], dtype=spec["dtype"])
         if "__callable__" in spec:
             return resolve_path(spec["__callable__"])
+        if "__partial__" in spec:
+            import functools
+
+            p = spec["__partial__"]
+            return functools.partial(
+                resolve_path(p["func"]), *[deserialize_value(a) for a in p["args"]],
+                **{k: deserialize_value(v) for k, v in p["keywords"].items()},
+            )
         if "__instance__" in spec:
             cls = resolve_path(spec["__instance__"])
             kwargs = {k: deserialize_value(v) for k, v in spec["kwargs"].items()}
