@@ -5,12 +5,12 @@ full capabilities of torch-em (see SURVEY.md for the blueprint).
 
 __version__ = "0.1.0"
 
-try:
-    from .segmentation import (
-        default_segmentation_dataset,
-        default_segmentation_loader,
-        default_segmentation_trainer,
-        get_data_loader,
-    )
-except ImportError:  # during partial builds of the package
-    pass
+from . import data, loss, metric, models, transforms, utils
+from .segmentation import (
+    default_segmentation_dataset,
+    default_segmentation_loader,
+    default_segmentation_trainer,
+    get_data_loader,
+)
+from . import trainer
+from .trainer import DefaultTrainer
