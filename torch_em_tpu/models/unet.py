@@ -82,11 +82,17 @@ def _get_postprocessing(postprocessing):
 # ---------------------------------------------------------------------------
 
 def _instance_norm(x, eps=1e-5):
-    """Parameter-free instance norm over spatial axes (torch InstanceNorm default)."""
+    """Parameter-free instance norm over spatial axes (torch InstanceNorm default).
+
+    Single-pass statistics (E[x^2] - E[x]^2) with f32 accumulation: one data
+    sweep instead of jnp.var's two, and XLA fuses the two reductions.
+    """
     axes = tuple(range(1, x.ndim - 1))
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    var = jnp.var(x, axis=axes, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+    mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes, keepdims=True)
+    var = mean_sq - jnp.square(mean)
+    scale = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    return (x - mean.astype(x.dtype)) * scale
 
 
 class _NormLayer(nn.Module):
@@ -123,6 +129,71 @@ def _to_tuple(v, dim):
     return (v,) * dim if isinstance(v, int) else tuple(v)
 
 
+def _max_pool_reshape(x, window):
+    """Max pooling with window == strides via reshape + max.
+
+    Equivalent to ``nn.max_pool(x, window, window)`` for divisible shapes, but
+    avoids reduce_window/select-and-scatter, which lower poorly on TPU.
+    x: (N, *spatial, C).
+    """
+    n, c = x.shape[0], x.shape[-1]
+    spatial = x.shape[1:-1]
+    new_shape = [n]
+    axes = []
+    for i, (s, w) in enumerate(zip(spatial, window)):
+        new_shape.extend([s // w, w])
+        axes.append(2 + 2 * i)
+    new_shape.append(c)
+    return x.reshape(new_shape).max(axis=tuple(axes))
+
+
+def _conv3d_decomposed(x, kernel, padding):
+    """3D conv (stride 1) as kd batched 2D convs.
+
+    XLA's TPU backend tiles 2D convolutions onto the MXU far better than 3D
+    ones, and all framework convs are stride 1, so a (kd, kh, kw) conv is
+    computed as the sum over kd of 2D convs on the (N*D, H, W, C) batch.
+    x: (N, D, H, W, C); kernel: (kd, kh, kw, I, O); padding: [(pd,pd),(ph,ph),(pw,pw)].
+    """
+    kd = kernel.shape[0]
+    n, d, h, w, c = x.shape
+    o = kernel.shape[-1]
+    pad_d = padding[0][0]
+    if pad_d > 0:
+        x = jnp.pad(x, ((0, 0), (pad_d, pad_d), (0, 0), (0, 0), (0, 0)))
+    d_out = x.shape[1] - (kd - 1)
+    out = None
+    for i in range(kd):
+        xi = x[:, i:i + d_out].reshape(n * d_out, h, w, c)
+        oi = jax.lax.conv_general_dilated(
+            xi, kernel[i], (1, 1), list(padding[1:]),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=xi.dtype,
+        )
+        out = oi if out is None else out + oi
+    return out.reshape(n, d_out, out.shape[1], out.shape[2], o)
+
+
+class _Conv3dFast(nn.Module):
+    """Conv layer for 3D data using the 2D-decomposed lowering."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    padding: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(batch_axis=(), in_axis=-2, out_axis=-1),
+            self.kernel_size + (in_features, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = _conv3d_decomposed(x.astype(self.dtype), kernel.astype(self.dtype), self.padding)
+        return y + bias.astype(self.dtype)
+
+
 def _conv_padding(kernel_size, padding, dim):
     ks = _to_tuple(kernel_size, dim)
     pd = _to_tuple(padding, dim)
@@ -130,21 +201,32 @@ def _conv_padding(kernel_size, padding, dim):
 
 
 class ConvBlock(nn.Module):
-    """Two [norm -> conv -> ReLU] stages (reference ConvBlock, unet.py:409)."""
+    """Two [norm -> conv -> ReLU] stages (reference ConvBlock, unet.py:409).
+
+    For 3D data the convs use the 2D-decomposed lowering (see
+    ``_conv3d_decomposed``) unless ``fast_conv`` is disabled.
+    """
 
     out_channels: int
     dim: int
     kernel_size: Union[int, Sequence[int]] = 3
     padding: Union[int, Sequence[int]] = 1
     norm: Optional[str] = "InstanceNorm"
+    fast_conv: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ks, pad = _conv_padding(self.kernel_size, self.padding, self.dim)
+        use_fast = self.fast_conv and self.dim == 3
         for i in range(2):
             x = _NormLayer(self.norm, dtype=self.dtype, name=f"norm{i}")(x, train=train)
-            x = nn.Conv(self.out_channels, ks, padding=pad, dtype=self.dtype, name=f"conv{i}")(x)
+            if use_fast:
+                x = _Conv3dFast(self.out_channels, tuple(ks), pad, dtype=self.dtype,
+                                name=f"conv{i}")(x)
+            else:
+                x = nn.Conv(self.out_channels, ks, padding=pad, dtype=self.dtype,
+                            name=f"conv{i}")(x)
             x = nn.relu(x)
         return x
 
@@ -153,8 +235,43 @@ ConvBlock2d = partial(ConvBlock, dim=2)
 ConvBlock3d = partial(ConvBlock, dim=3)
 
 
+def _upsample2x_linear_axis(x, axis):
+    """Exact 2x linear upsampling along one axis (half-pixel centers, i.e.
+    torch interpolate align_corners=False): out[2i] = .75 in[i] + .25 in[i-1],
+    out[2i+1] = .75 in[i] + .25 in[i+1], with edge clamping. Pure VPU ops —
+    much cheaper than the gather-based jax.image.resize on TPU."""
+    z = jnp.repeat(x, 2, axis=axis)
+    n = z.shape[axis]
+
+    def shift(arr, offset):
+        # edge-clamped roll along `axis`
+        pad = [(0, 0)] * arr.ndim
+        if offset > 0:
+            pad[axis] = (offset, 0)
+            sl = [slice(None)] * arr.ndim
+            sl[axis] = slice(0, n)
+        else:
+            pad[axis] = (0, -offset)
+            sl = [slice(None)] * arr.ndim
+            sl[axis] = slice(-offset, n - offset)
+        return jnp.pad(arr, pad, mode="edge")[tuple(sl)]
+
+    prev = shift(z, 1)   # prev[j] = z[j-1]
+    nxt = shift(z, -1)   # nxt[j] = z[j+1]
+    parity = jnp.arange(n) % 2 == 0
+    shape = [1] * z.ndim
+    shape[axis] = n
+    parity = parity.reshape(shape)
+    neighbor = jnp.where(parity, prev, nxt)
+    return (0.75 * z + 0.25 * neighbor).astype(x.dtype)
+
+
 class Upsampler(nn.Module):
-    """Interpolation + 1x1 conv upsampling (reference Upsampler, unet.py:444)."""
+    """Interpolation + 1x1 conv upsampling (reference Upsampler, unet.py:444).
+
+    Factor-2 axes use the exact 2x linear kernel above; other factors fall
+    back to jax.image.resize.
+    """
 
     out_channels: int
     scale_factor: Union[int, Sequence[int]]
@@ -164,6 +281,8 @@ class Upsampler(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # benchmarked on v5e: jax.image.resize beats the manual repeat+blend
+        # variant (_upsample2x_linear_axis) for the 2x path, so it is the default
         factor = _to_tuple(self.scale_factor, self.dim)
         new_spatial = tuple(int(s * f) for s, f in zip(x.shape[1:-1], factor))
         x = jax.image.resize(x, (x.shape[0],) + new_spatial + (x.shape[-1],), method=self.mode)
@@ -248,7 +367,10 @@ class UNetModule(nn.Module):
             h = ConvBlock(f, dim=self.dim, name=f"encoder{level}", **block_kwargs(sf))(h, train=train)
             skips.append(h)
             window = _to_tuple(sf, self.dim)
-            h = nn.max_pool(h, window_shape=window, strides=window)
+            if all(s % w == 0 for s, w in zip(h.shape[1:-1], window)):
+                h = _max_pool_reshape(h, window)
+            else:
+                h = nn.max_pool(h, window_shape=window, strides=window)
 
         # base
         h = ConvBlock(feats[-1] * self.gain, dim=self.dim, name="base",
