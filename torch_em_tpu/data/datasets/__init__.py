@@ -6,3 +6,4 @@ light_microscopy, histopathology, medical.
 from . import util
 from .electron_microscopy import *  # noqa: F401,F403
 from .light_microscopy import *  # noqa: F401,F403
+from .histopathology import *  # noqa: F401,F403

@@ -6,3 +6,11 @@ from .lucchi import get_lucchi_data, get_lucchi_dataset, get_lucchi_loader, get_
 from .mitoem import get_mitoem_data, get_mitoem_dataset, get_mitoem_loader, get_mitoem_paths
 from .snemi import get_snemi_data, get_snemi_dataset, get_snemi_loader, get_snemi_paths
 from .vnc import get_vnc_data, get_vnc_mito_dataset, get_vnc_mito_loader, get_vnc_mito_paths
+from .kasthuri import get_kasthuri_data, get_kasthuri_dataset, get_kasthuri_loader, get_kasthuri_paths
+from .platynereis import (
+    get_platynereis_data, get_platynereis_dataset, get_platynereis_loader, get_platynereis_paths,
+    get_platynereis_cell_dataset, get_platynereis_cell_loader, get_platynereis_nuclei_dataset,
+    get_platynereis_nuclei_loader, get_platynereis_cilia_dataset, get_platynereis_cilia_loader,
+)
+from .sponge_em import get_sponge_em_data, get_sponge_em_dataset, get_sponge_em_loader, get_sponge_em_paths
+from .uro_cell import get_uro_cell_data, get_uro_cell_dataset, get_uro_cell_loader, get_uro_cell_paths

@@ -51,6 +51,23 @@ def _select_2d(x):
     return im
 
 
+def embedding_pca(embeddings: np.ndarray, n_components: int = 3, as_rgb: bool = True) -> np.ndarray:
+    """Project an embedding image (E, *spatial) to its first principal
+    components for visualization (replaces elf.segmentation.embeddings
+    .embedding_pca, reference tensorboard_logger.py:7)."""
+    e = embeddings.shape[0]
+    flat = embeddings.reshape(e, -1).astype("float64")
+    flat = flat - flat.mean(axis=1, keepdims=True)
+    # principal axes via SVD of the (E, P) matrix
+    u, s, _ = np.linalg.svd(flat @ flat.T / flat.shape[1])
+    proj = (u[:, :n_components].T @ flat).reshape((n_components,) + embeddings.shape[1:])
+    if as_rgb:
+        lo = proj.min(axis=tuple(range(1, proj.ndim)), keepdims=True)
+        hi = proj.max(axis=tuple(range(1, proj.ndim)), keepdims=True)
+        proj = (proj - lo) / (hi - lo + 1e-7)
+    return proj.astype("float32")
+
+
 class TensorboardLogger(TorchEmLogger):
     """Scalars every iteration + raw/target/prediction grids every k iterations."""
 
@@ -63,11 +80,17 @@ class TensorboardLogger(TorchEmLogger):
         os.makedirs(self.log_dir, exist_ok=True)
         self.tb = SummaryWriter(self.log_dir)
         self.log_image_interval = trainer.log_image_interval
+        # embedding losses get PCA visualization (reference :122-128)
+        from ..loss import EMBEDDING_LOSSES
+
+        self.have_embedding_loss = type(getattr(trainer, "loss", None)) in EMBEDDING_LOSSES
 
     def log_images(self, step, x, y, prediction, name, gradients=None):
         self.tb.add_image(tag=f"{name}/input", img_tensor=make_grid([_select_2d(x)]), global_step=step)
         target = _select_2d(y)
         pred = _select_2d(prediction[0] if isinstance(prediction, (list, tuple)) else prediction)
+        if self.have_embedding_loss and pred.shape[0] > 3:
+            pred = embedding_pca(pred)
         # show up to 4 channels of target/prediction side by side
         self.tb.add_image(
             tag=f"{name}/target",
