@@ -80,6 +80,31 @@ def main():
     # v5e peak: 197 TFLOP/s bf16
     mfu = (flops_per_step * steps_per_sec) / 197e12 if flops_per_step else None
 
+    # secondary metric: tiled-inference throughput (Mvoxel/s) on a synthetic volume
+    inference_mvoxps = None
+    try:
+        from torch_em_tpu.utils.prediction import predict_with_halo
+
+        volume = rng.random((64, 512, 512), dtype=np.float32)
+        fwd_model = AnisotropicUNet(
+            in_channels=1, out_channels=1,
+            scale_factors=[[1, 2, 2], [1, 2, 2], [2, 2, 2], [2, 2, 2]],
+            initial_features=32, final_activation="Sigmoid", anisotropic_kernel=True,
+            dtype=jnp.bfloat16,
+        )
+        # warmup (compile); f16 readback halves the device->host volume
+        predict_with_halo(volume[:32, :512, :512], fwd_model, gpu_ids=None,
+                          block_shape=(32, 512, 512), halo=(4, 32, 32), disable_tqdm=True,
+                          output_dtype="float16")
+        t0 = time.perf_counter()
+        predict_with_halo(volume, fwd_model, gpu_ids=None,
+                          block_shape=(32, 512, 512), halo=(4, 32, 32), disable_tqdm=True,
+                          output_dtype="float16")
+        dt_inf = time.perf_counter() - t0
+        inference_mvoxps = float(np.prod(volume.shape) / dt_inf / 1e6)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "unet3d_train_patches_per_sec_chip",
         "value": round(patches_per_sec, 4),
@@ -90,6 +115,8 @@ def main():
             "mvoxels_per_sec": round(float(mvoxels_per_sec), 2),
             "s_per_iter": round(dt / n_steps, 4),
             "mfu_vs_v5e_peak": None if mfu is None else round(float(mfu), 4),
+            "tiled_inference_mvoxels_per_sec": None if inference_mvoxps is None
+            else round(inference_mvoxps, 2),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -81,12 +81,28 @@ def _get_postprocessing(postprocessing):
 # Norms (channels-last)
 # ---------------------------------------------------------------------------
 
-def _instance_norm(x, eps=1e-5):
+def _instance_norm(x, eps=1e-5, stat_groups=None):
     """Parameter-free instance norm over spatial axes (torch InstanceNorm default).
 
     Single-pass statistics (E[x^2] - E[x]^2) with f32 accumulation: one data
     sweep instead of jnp.var's two, and XLA fuses the two reductions.
+
+    ``stat_groups`` (None = standard per-sample stats) supports the 2.5D
+    execution mode, where the depth axis of 3D data is folded into the batch:
+    the batch rows are split into ``stat_groups`` groups (one per original
+    sample) that share statistics.
     """
+    if stat_groups is not None:
+        g = stat_groups
+        rows = x.shape[0] // g
+        xg = x.reshape((g, rows) + x.shape[1:])
+        axes = tuple(range(1, xg.ndim - 1))
+        mean = jnp.mean(xg, axis=axes, keepdims=True, dtype=jnp.float32)
+        mean_sq = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=axes, keepdims=True)
+        var = mean_sq - jnp.square(mean)
+        scale = jax.lax.rsqrt(var + eps).astype(x.dtype)
+        out = (xg - mean.astype(x.dtype)) * scale
+        return out.reshape(x.shape)
     axes = tuple(range(1, x.ndim - 1))
     mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
     mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes, keepdims=True)
@@ -104,6 +120,7 @@ class _NormLayer(nn.Module):
     """
 
     norm: Optional[str]
+    stat_groups: Optional[int] = None  # 2.5D mode: groups sharing statistics
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -111,7 +128,7 @@ class _NormLayer(nn.Module):
         if self.norm is None:
             return x
         if self.norm == "InstanceNorm":
-            return _instance_norm(x)
+            return _instance_norm(x, stat_groups=self.stat_groups)
         if self.norm == "InstanceNormTrackStats":
             return nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5, dtype=self.dtype)(x)
         if self.norm == "GroupNorm":
@@ -175,7 +192,12 @@ def _conv3d_decomposed(x, kernel, padding):
 
 
 class _Conv3dFast(nn.Module):
-    """Conv layer for 3D data using the 2D-decomposed lowering."""
+    """Conv layer for 3D data using the 2D-decomposed lowering.
+
+    Parameters always have the 3D shape (kd, kh, kw, I, O). Inputs may be 5D
+    (N, D, H, W, C) — decomposed over kd — or 4D (N*D, H, W, C) in the 2.5D
+    execution mode (kd must be 1 then): the conv runs directly in 2D.
+    """
 
     features: int
     kernel_size: Tuple[int, int, int]
@@ -190,7 +212,14 @@ class _Conv3dFast(nn.Module):
             self.kernel_size + (in_features, self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        y = _conv3d_decomposed(x.astype(self.dtype), kernel.astype(self.dtype), self.padding)
+        if x.ndim == 4:
+            assert self.kernel_size[0] == 1, "2.5D mode requires depth-1 kernels."
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel[0].astype(self.dtype), (1, 1), list(self.padding[1:]),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=self.dtype,
+            )
+        else:
+            y = _conv3d_decomposed(x.astype(self.dtype), kernel.astype(self.dtype), self.padding)
         return y + bias.astype(self.dtype)
 
 
@@ -213,6 +242,7 @@ class ConvBlock(nn.Module):
     padding: Union[int, Sequence[int]] = 1
     norm: Optional[str] = "InstanceNorm"
     fast_conv: bool = True
+    stat_groups: Optional[int] = None  # 2.5D mode: norm-stat groups
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -220,7 +250,8 @@ class ConvBlock(nn.Module):
         ks, pad = _conv_padding(self.kernel_size, self.padding, self.dim)
         use_fast = self.fast_conv and self.dim == 3
         for i in range(2):
-            x = _NormLayer(self.norm, dtype=self.dtype, name=f"norm{i}")(x, train=train)
+            x = _NormLayer(self.norm, stat_groups=self.stat_groups, dtype=self.dtype,
+                           name=f"norm{i}")(x, train=train)
             if use_fast:
                 x = _Conv3dFast(self.out_channels, tuple(ks), pad, dtype=self.dtype,
                                 name=f"conv{i}")(x)
@@ -282,11 +313,20 @@ class Upsampler(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # benchmarked on v5e: jax.image.resize beats the manual repeat+blend
-        # variant (_upsample2x_linear_axis) for the 2x path, so it is the default
+        # variant (_upsample2x_linear_axis) for the 2x path, so it is the default.
+        # In the 2.5D mode x may have fewer spatial dims than self.dim; the
+        # leading scale factors (which are 1 then) are dropped accordingly.
         factor = _to_tuple(self.scale_factor, self.dim)
+        spatial_ndim = x.ndim - 2
+        if spatial_ndim < self.dim:
+            dropped = factor[: self.dim - spatial_ndim]
+            assert all(f == 1 for f in dropped), "2.5D mode requires unit depth scaling."
+            factor = factor[self.dim - spatial_ndim:]
         new_spatial = tuple(int(s * f) for s, f in zip(x.shape[1:-1], factor))
         x = jax.image.resize(x, (x.shape[0],) + new_spatial + (x.shape[-1],), method=self.mode)
-        x = nn.Conv(self.out_channels, (1,) * self.dim, dtype=self.dtype, name="conv")(x)
+        # pointwise conv as a Dense over the channel axis: rep-independent
+        # parameters (I, O) and a pure matmul on the MXU
+        x = nn.Dense(self.out_channels, dtype=self.dtype, name="conv")(x)
         return x
 
 
@@ -349,10 +389,10 @@ class UNetModule(nn.Module):
         depth = len(self.scale_factors)
         feats = list(self.features_encoder)
         assert len(feats) == depth
+        n_batch = x.shape[0]
 
         # channel-first -> channels-last
         perm = (0,) + tuple(range(2, x.ndim)) + (1,)
-        inv_perm = (0, x.ndim - 1) + tuple(range(1, x.ndim - 1))
         h = jnp.transpose(x, perm).astype(self.dtype)
 
         def block_kwargs(level_sf):
@@ -361,45 +401,104 @@ class UNetModule(nn.Module):
                 ks, pd = _update_conv_kwargs(ks, pd, level_sf)
             return dict(kernel_size=ks, padding=pd, norm=self.norm, dtype=self.dtype)
 
+        # --- 2.5D execution mode (3D models only) --------------------------
+        # Levels whose conv kernels have depth 1 and whose pooling does not
+        # touch the depth axis run with D folded into the batch: the per-op
+        # 5D<->4D layout copies XLA otherwise inserts around the decomposed
+        # 2D convs dominate HBM traffic at the full-resolution levels.
+        use_25d = self.dim == 3 and self.norm in (None, "InstanceNorm")
+
+        def level_is_2d(level_sf):
+            if not use_25d:
+                return False
+            sf = _to_tuple(level_sf, self.dim)
+            ks = block_kwargs(level_sf)["kernel_size"]
+            ks = _to_tuple(ks, self.dim)
+            return sf[0] == 1 and ks[0] == 1
+
+        def to2d(arr):  # (N, D, *rest) -> (N*D, *rest)
+            return arr.reshape((arr.shape[0] * arr.shape[1],) + arr.shape[2:])
+
+        def to3d(arr, d):  # (N*D, *rest) -> (N, D, *rest)
+            return arr.reshape((arr.shape[0] // d, d) + arr.shape[1:])
+
+        def set_rep(arr, rep2d, want2d, d):
+            if want2d and not rep2d:
+                return to2d(arr), True
+            if not want2d and rep2d:
+                return to3d(arr, d), False
+            return arr, rep2d
+
+        def conv_block(name, f, sf, arr, rep2d):
+            kw = block_kwargs(sf)
+            return ConvBlock(
+                f, dim=self.dim, name=name,
+                stat_groups=n_batch if rep2d else None, **kw,
+            )(arr, train=train)
+
+        cur_d = x.shape[2] if self.dim == 3 else None
+        rep2d = False
+
         # encoder
         skips = []
         for level, (f, sf) in enumerate(zip(feats, self.scale_factors)):
-            h = ConvBlock(f, dim=self.dim, name=f"encoder{level}", **block_kwargs(sf))(h, train=train)
-            skips.append(h)
+            want2d = level_is_2d(sf)
+            h, rep2d = set_rep(h, rep2d, want2d, cur_d)
+            h = conv_block(f"encoder{level}", f, sf, h, rep2d)
+            skips.append((h, rep2d, cur_d))
             window = _to_tuple(sf, self.dim)
-            if all(s % w == 0 for s, w in zip(h.shape[1:-1], window)):
-                h = _max_pool_reshape(h, window)
+            pool_window = window[1:] if rep2d else window
+            if all(s % w == 0 for s, w in zip(h.shape[1:-1], pool_window)):
+                h = _max_pool_reshape(h, pool_window)
             else:
-                h = nn.max_pool(h, window_shape=window, strides=window)
+                h = nn.max_pool(h, window_shape=pool_window, strides=pool_window)
+            if not rep2d and self.dim == 3:
+                cur_d = cur_d // window[0]
 
         # base
-        h = ConvBlock(feats[-1] * self.gain, dim=self.dim, name="base",
-                      **block_kwargs(self.scale_factors[-1]))(h, train=train)
+        base_sf = self.scale_factors[-1]
+        want2d = level_is_2d(base_sf)
+        h, rep2d = set_rep(h, rep2d, want2d, cur_d)
+        h = conv_block("base", feats[-1] * self.gain, base_sf, h, rep2d)
 
         # decoder (mirror features, upsample + concat-crop + block)
         decoder_feats = feats[::-1]
         decoder_sfs = list(self.scale_factors)[::-1]
         side_outputs = []
-        for level, (f, sf, skip) in enumerate(zip(decoder_feats, decoder_sfs, skips[::-1])):
+        for level, (f, sf, skip_entry) in enumerate(zip(decoder_feats, decoder_sfs, skips[::-1])):
+            skip, skip_rep2d, skip_d = skip_entry
+            window = _to_tuple(sf, self.dim)
+            if skip_rep2d:
+                # depth unchanged across this level (sf[0] == 1): upsample in 2D
+                h, rep2d = set_rep(h, rep2d, True, cur_d)
+            else:
+                h, rep2d = set_rep(h, rep2d, False, cur_d)
             h = Upsampler(f, scale_factor=sf, dim=self.dim, mode="linear",
                           dtype=self.dtype, name=f"sampler{level}")(h, train=train)
+            if not rep2d and self.dim == 3:
+                cur_d = cur_d * window[0]
             # center-crop the skip if needed (no-op with SAME padding)
             if skip.shape[1:-1] != h.shape[1:-1]:
                 diff = [(ssh - hsh) // 2 for ssh, hsh in zip(skip.shape[1:-1], h.shape[1:-1])]
                 crop = (slice(None),) + tuple(
-                    slice(d, d + hsh) for d, hsh in zip(diff, h.shape[1:-1])
+                    slice(dd, dd + hsh) for dd, hsh in zip(diff, h.shape[1:-1])
                 ) + (slice(None),)
                 skip = skip[crop]
             h = jnp.concatenate([h, skip], axis=-1)
-            h = ConvBlock(f, dim=self.dim, name=f"decoder{level}", **block_kwargs(sf))(h, train=train)
-            side_outputs.append(h)
+            h = conv_block(f"decoder{level}", f, sf, h, rep2d)
+            side_outputs.append((h, rep2d, cur_d))
 
         activation = get_activation(self.final_activation)
         postprocessing = _get_postprocessing(self.postprocessing)
 
-        def finalize(out, out_channels, conv_name):
+        def finalize(out_entry, out_channels, conv_name):
+            out, out_rep2d, out_d = out_entry
             if out_channels is not None:
-                out = nn.Conv(out_channels, (1,) * self.dim, dtype=self.dtype, name=conv_name)(out)
+                # pointwise conv as Dense: rep-independent (I, O) parameters
+                out = nn.Dense(out_channels, dtype=self.dtype, name=conv_name)(out)
+            if out_rep2d:
+                out = to3d(out, out_d)
+            inv_perm = (0, out.ndim - 1) + tuple(range(1, out.ndim - 1))
             out = jnp.transpose(out.astype(jnp.float32), inv_perm)
             if activation is not None:
                 out = activation(out)
@@ -415,7 +514,7 @@ class UNetModule(nn.Module):
                 finalize(o, oc, f"out_conv{i}") for i, (o, oc) in enumerate(zip(side_outputs, ocs))
             ]
             return outs[::-1]  # full-resolution output first
-        return finalize(h, self.out_channels, "out_conv")
+        return finalize(side_outputs[-1], self.out_channels, "out_conv")
 
 
 def _build_unet(dim, in_channels, out_channels, scale_factors, initial_features, gain,

@@ -167,6 +167,8 @@ def predict_with_halo(
     grid_shift: Optional[Tuple[float, ...]] = None,
     batch_size: int = 1,
     devices: Optional[List] = None,
+    n_threads: Optional[int] = None,
+    output_dtype=None,
 ):
     """Block-wise prediction with halo (reference prediction.py:142).
 
@@ -229,13 +231,24 @@ def predict_with_halo(
             "Pass `output=None` or disable `grid_shift`."
         )
 
-    # one jitted forward per device, shared across blocks (static block shape)
+    # one jitted forward per device, shared across blocks (static block shape);
+    # the halo is cropped ON DEVICE so only the inner block is fetched back
+    # (device->host readback is the bottleneck of tiled inference)
+    inner_crop = tuple(slice(ha, ha + bs) for ha, bs in zip(halo, block_shape))
+
     def _make_forward(device):
         variables = jax.device_put(model.variables, device)
 
         def fwd(v, inp):
             out = model.module.apply(v, inp, train=False)
-            return out[0] if isinstance(out, (list, tuple)) else out
+            out = out[0] if isinstance(out, (list, tuple)) else out
+            spatial_offset = out.ndim - ndim
+            crop = (slice(None),) * spatial_offset + inner_crop
+            out = out[crop]
+            if output_dtype is not None:
+                # cast on device: halves the device->host readback volume for f16
+                out = out.astype(output_dtype)
+            return out
 
         jitted = jax.jit(fwd)
         return lambda inp: jitted(variables, jax.device_put(inp, device))
@@ -268,21 +281,26 @@ def predict_with_halo(
         expand_dims = np.s_[None] if with_channels else np.s_[None, None]
         model_input = jnp.asarray(inp[expand_dims], dtype=jnp.float32)
         if prediction_function is None:
-            prediction = forward(model_input)
+            # forward returns the inner block (halo cropped on device); cut to
+            # the actual block extent for edge blocks
+            prediction = np.asarray(forward(model_input)).squeeze(0)
+            if postprocess is not None:
+                prediction = postprocess(prediction)
+            actual = tuple(slice(0, e - b) for b, e in zip(begin, end))
+            lead = (slice(None),) * (prediction.ndim - ndim)
+            prediction = prediction[lead + actual]
         else:
             prediction = prediction_function(model, model_input)
             if isinstance(prediction, (list, tuple)):
                 prediction = prediction[0]
-        prediction = np.asarray(prediction).squeeze(0)
-
-        if postprocess is not None:
-            prediction = postprocess(prediction)
-
-        if prediction.ndim == ndim + 1:
-            inner_bb_pred = (slice(None),) + inner_bb
-        else:
-            inner_bb_pred = inner_bb
-        prediction = prediction[inner_bb_pred]
+            prediction = np.asarray(prediction).squeeze(0)
+            if postprocess is not None:
+                prediction = postprocess(prediction)
+            if prediction.ndim == ndim + 1:
+                inner_bb_pred = (slice(None),) + inner_bb
+            else:
+                inner_bb_pred = inner_bb
+            prediction = prediction[inner_bb_pred]
 
         if mask_eff is not None:
             if prediction.ndim == ndim + 1:
@@ -303,7 +321,10 @@ def predict_with_halo(
     n_blocks = blocking.n_blocks
     iteration_ids = range(n_blocks) if iter_list is None else list(iter_list)
 
-    with futures.ThreadPoolExecutor(n_workers) as tp:
+    # more threads than devices overlap host<->device transfers with compute
+    # (dispatch is thread-safe; output blocks are disjoint by construction)
+    pool_size = max(4 * n_workers, 4) if n_threads is None else n_threads
+    with futures.ThreadPoolExecutor(pool_size) as tp:
         list(tqdm(
             tp.map(predict_block, iteration_ids), total=len(list(iteration_ids)),
             disable=disable_tqdm, desc=tqdm_desc,
