@@ -50,6 +50,23 @@ class TestUNETR:
         out = model(np.random.rand(1, 1, 128, 128).astype("float32"))
         assert out.shape == (1, 1, 128, 128)
 
+    def test_unetr3d(self):
+        from torch_em_tpu.models import UNETR3D
+
+        model = UNETR3D(img_size=64, encoder="vit_t", out_channels=2, resize_input=False,
+                        final_activation="Sigmoid")
+        out = np.asarray(model(np.random.rand(1, 1, 3, 64, 64).astype("float32")))
+        assert out.shape == (1, 2, 3, 64, 64)
+        assert out.min() >= 0 and out.max() <= 1
+
+    def test_unetr3d_strip_pooling_identity_for_single_slice(self):
+        # DepthStripPooling must be a structural no-op for Z == 1 (reference unetr.py:872)
+        from torch_em_tpu.models import UNETR3D
+
+        model = UNETR3D(img_size=64, encoder="vit_t", out_channels=1, resize_input=False)
+        out = model(np.random.rand(1, 1, 1, 64, 64).astype("float32"))
+        assert out.shape == (1, 1, 1, 64, 64)
+
 
 class TestViT:
     def test_feature_maps(self):

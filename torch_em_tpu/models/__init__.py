@@ -8,6 +8,6 @@ from .resnet3d import (
     wide_resnet3d_50_2, wide_resnet3d_101_2,
 )
 from .unet import AnisotropicUNet, POSTPROCESSING, UNet2d, UNet3d, UNetModule
-from .unetr import UNETR, UNETR2D
+from .unetr import UNETR, UNETR2D, UNETR3D, DepthStripPooling
 from .vim import get_vim_encoder, get_vimunet_model, ViM
 from .vit import get_vision_transformer, ViT
