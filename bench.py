@@ -58,9 +58,26 @@ def main():
     # compile + warmup
     lowered = step.lower(variables, opt_state, x, y)
     compiled = lowered.compile()
+
+    # MFU must count the *model's* nominal FLOPs: the width-packed conv
+    # lowering executes 4x the nominal conv FLOPs (trading them for MXU
+    # utilization), so cost-analyze a lowering with packing disabled.
+    def nominal_flops():
+        from torch_em_tpu.models import unet as unet_mod
+
+        def train_step_nominal(variables, opt_state, x, y):
+            return train_step(variables, opt_state, x, y)
+
+        unet_mod.W4_PACKING = False
+        try:
+            cost = jax.jit(train_step_nominal).lower(
+                variables, opt_state, x, y).compile().cost_analysis()
+            return float(cost.get("flops", 0.0)) if cost else 0.0
+        finally:
+            unet_mod.W4_PACKING = True
+
     try:
-        cost = compiled.cost_analysis()
-        flops_per_step = float(cost.get("flops", 0.0)) if cost else 0.0
+        flops_per_step = nominal_flops()
     except Exception:
         flops_per_step = 0.0
 
