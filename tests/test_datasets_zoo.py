@@ -87,3 +87,22 @@ class TestLivecellCoco:
         seg = _annotations_to_instances({"height": 32, "width": 32}, [poly_ann, rle_ann])
         assert seg.shape == shape
         assert seg.max() >= 1
+
+
+class TestZooModules:
+    def test_all_modules_import_and_expose_loaders(self):
+        """Every dataset module must import cleanly and expose get_*_loader."""
+        import importlib
+        import pkgutil
+
+        import torch_em_tpu.data.datasets as zoo
+
+        n_modules = 0
+        for pkg in pkgutil.walk_packages(zoo.__path__, zoo.__name__ + "."):
+            if pkg.ispkg or pkg.name.rsplit(".", 1)[-1] in ("util",):
+                continue
+            mod = importlib.import_module(pkg.name)
+            loaders = [k for k in dir(mod) if k.startswith("get_") and k.endswith("_loader")]
+            assert loaders, f"{pkg.name} exposes no get_*_loader"
+            n_modules += 1
+        assert n_modules >= 26, f"only {n_modules} dataset modules"

@@ -14,3 +14,5 @@ from .platynereis import (
 )
 from .sponge_em import get_sponge_em_data, get_sponge_em_dataset, get_sponge_em_loader, get_sponge_em_paths
 from .uro_cell import get_uro_cell_data, get_uro_cell_dataset, get_uro_cell_loader, get_uro_cell_paths
+from .nuc_mm import get_nuc_mm_data, get_nuc_mm_dataset, get_nuc_mm_loader, get_nuc_mm_paths
+from .axonem import get_axonem_data, get_axonem_dataset, get_axonem_loader, get_axonem_paths

@@ -2,3 +2,5 @@
 
 from .monuseg import get_monuseg_data, get_monuseg_dataset, get_monuseg_loader, get_monuseg_paths
 from .pannuke import get_pannuke_data, get_pannuke_dataset, get_pannuke_loader, get_pannuke_paths
+from .tnbc import get_tnbc_data, get_tnbc_dataset, get_tnbc_loader, get_tnbc_paths
+from .srsanet import get_srsanet_data, get_srsanet_dataset, get_srsanet_loader, get_srsanet_paths

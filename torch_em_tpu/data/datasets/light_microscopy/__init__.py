@@ -9,3 +9,20 @@ from .ctc import (
     get_ctc_segmentation_paths,
 )
 from .deepbacs import get_deepbacs_data, get_deepbacs_dataset, get_deepbacs_loader, get_deepbacs_paths
+from .gonuclear import get_gonuclear_data, get_gonuclear_dataset, get_gonuclear_loader, get_gonuclear_paths
+from .mouse_embryo import (
+    get_mouse_embryo_data, get_mouse_embryo_dataset, get_mouse_embryo_loader, get_mouse_embryo_paths,
+)
+from .orgasegment import (
+    get_orgasegment_data, get_orgasegment_dataset, get_orgasegment_loader, get_orgasegment_paths,
+)
+from .omnipose import get_omnipose_data, get_omnipose_dataset, get_omnipose_loader, get_omnipose_paths
+from .arvidsson import get_arvidsson_data, get_arvidsson_dataset, get_arvidsson_loader, get_arvidsson_paths
+from .vgg_hela import get_vgg_hela_data, get_vgg_hela_dataset, get_vgg_hela_loader, get_vgg_hela_paths
+from .ifnuclei import get_ifnuclei_data, get_ifnuclei_dataset, get_ifnuclei_loader, get_ifnuclei_paths
+from .embedseg_data import get_embedseg_data, get_embedseg_dataset, get_embedseg_loader, get_embedseg_paths
+from .neurips_cell_seg import (
+    get_neurips_cellseg_data, get_neurips_cellseg_paths,
+    get_neurips_cellseg_supervised_dataset, get_neurips_cellseg_supervised_loader,
+    get_neurips_cellseg_unsupervised_dataset, get_neurips_cellseg_unsupervised_loader,
+)

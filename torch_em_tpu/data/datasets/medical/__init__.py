@@ -2,3 +2,7 @@
 
 from .busi import get_busi_data, get_busi_dataset, get_busi_loader, get_busi_paths
 from .dca1 import get_dca1_data, get_dca1_dataset, get_dca1_loader, get_dca1_paths
+from .montgomery import (
+    get_montgomery_data, get_montgomery_dataset, get_montgomery_loader, get_montgomery_paths,
+)
+from .isic import get_isic_data, get_isic_dataset, get_isic_loader, get_isic_paths

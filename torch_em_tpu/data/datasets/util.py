@@ -313,7 +313,8 @@ def update_kwargs_for_resize_trafo(kwargs, patch_shape, resize_inputs, resize_kw
 
         kwargs["raw_transform"] = raw_transform
         kwargs["label_transform"] = label_transform
-        kwargs["patch_shape"] = None
+        # the resize transform produces fixed-size outputs, so patching is disabled
+        patch_shape = None
 
     return kwargs, patch_shape
 
@@ -353,3 +354,13 @@ def convert_svs_to_array(path: str, location=(0, 0), level: int = 0, img_size=No
     if img_size is None:
         img_size = slide.level_dimensions[0]
     return slide.read_region(location=location, level=level, size=img_size, as_array=True)
+
+
+def natsorted(items):
+    """Natural sort (numeric-aware), replacing the natsort dependency."""
+    import re
+
+    def key(s):
+        return [int(t) if t.isdigit() else t.lower() for t in re.split(r"(\d+)", str(s))]
+
+    return sorted(items, key=key)
