@@ -4,3 +4,5 @@ from .monuseg import get_monuseg_data, get_monuseg_dataset, get_monuseg_loader, 
 from .pannuke import get_pannuke_data, get_pannuke_dataset, get_pannuke_loader, get_pannuke_paths
 from .tnbc import get_tnbc_data, get_tnbc_dataset, get_tnbc_loader, get_tnbc_paths
 from .srsanet import get_srsanet_data, get_srsanet_dataset, get_srsanet_loader, get_srsanet_paths
+from .lizard import get_lizard_data, get_lizard_dataset, get_lizard_loader, get_lizard_paths
+from .nuinsseg import get_nuinsseg_data, get_nuinsseg_dataset, get_nuinsseg_loader, get_nuinsseg_paths

@@ -26,3 +26,8 @@ from .neurips_cell_seg import (
     get_neurips_cellseg_supervised_dataset, get_neurips_cellseg_supervised_loader,
     get_neurips_cellseg_unsupervised_dataset, get_neurips_cellseg_unsupervised_loader,
 )
+from .cellseg_3d import (
+    get_cellseg_3d_data, get_cellseg_3d_dataset, get_cellseg_3d_loader, get_cellseg_3d_paths,
+)
+from .toiam import get_toiam_data, get_toiam_dataset, get_toiam_loader, get_toiam_paths
+from .dic_hepg2 import get_dic_hepg2_data, get_dic_hepg2_dataset, get_dic_hepg2_loader, get_dic_hepg2_paths

@@ -6,3 +6,5 @@ from .montgomery import (
     get_montgomery_data, get_montgomery_dataset, get_montgomery_loader, get_montgomery_paths,
 )
 from .isic import get_isic_data, get_isic_dataset, get_isic_loader, get_isic_paths
+from .drive import get_drive_data, get_drive_dataset, get_drive_loader, get_drive_paths
+from .jsrt import get_jsrt_data, get_jsrt_dataset, get_jsrt_loader, get_jsrt_paths
