@@ -147,3 +147,90 @@ class TestAugmentations:
         labels = np.random.randint(0, 3, (1, 8, 16, 16)).astype("int32")
         r, l = pipe(raw, labels)
         assert r.shape == raw.shape and l.shape == labels.shape
+
+
+class TestElasticParity:
+    """Statistical parity of the elastic deformation with the reference's
+    kornia-based math (SURVEY.md hard part #4): control-point uniform noise,
+    cubic upsample, gaussian smooth, displacement = noise * alpha * (size-1)/2
+    added to the pixel grid (kornia elastic_transform2d semantics,
+    reference transform/augmentation.py:44-61 + :91)."""
+
+    def _aug(self, **kwargs):
+        from torch_em_tpu.transforms.augmentation import RandomElasticDeformation
+
+        return RandomElasticDeformation(p=1.0, **kwargs)
+
+    def test_resampling_matches_scipy(self):
+        """Warping with a given field must match scipy map_coordinates (the
+        reference-semantics resampler) in the interior."""
+        import jax
+        import jax.numpy as jnp
+        from scipy.ndimage import map_coordinates
+
+        aug = self._aug(control_point_spacing=8, alpha=(2.0, 2.0))
+        raw = np.random.rand(1, 64, 64).astype("float32")
+        params = aug.sample_params(jax.random.PRNGKey(0), raw.shape[-2:])
+        params["apply"] = jnp.asarray(True)
+
+        ours = np.asarray(aug.apply(jnp.asarray(raw), params, order=1))[0]
+
+        disp = np.asarray(aug._displacement(raw.shape[-2:], params["noise"]))
+        gy, gx = np.meshgrid(np.arange(64.), np.arange(64.), indexing="ij")
+        ref = map_coordinates(raw[0], [gy + disp[0], gx + disp[1]], order=1, mode="nearest")
+
+        interior = (slice(4, -4), slice(4, -4))
+        assert np.abs(ours[interior] - ref[interior]).max() < 1e-4
+
+    def test_displacement_statistics(self):
+        """Displacements are bounded by alpha*(size-1)/2, nonzero, and scale
+        linearly with alpha for the same key."""
+        import jax
+
+        size = 64
+        alphas, mags = [1.0, 2.0, 4.0], []
+        for alpha in alphas:
+            aug = self._aug(control_point_spacing=8, alpha=(alpha, alpha))
+            per_seed = []
+            for seed in range(10):
+                params = aug._sample(jax.random.PRNGKey(seed), (size, size))
+                disp = np.asarray(aug._displacement((size, size), params["noise"]))
+                bound = alpha * (size - 1) / 2.0
+                assert np.abs(disp).max() <= bound + 1e-3
+                per_seed.append(np.abs(disp).mean())
+            mags.append(np.mean(per_seed))
+        assert mags[0] > 0
+        # linear scaling in alpha (same noise distribution; statistical check)
+        assert 1.5 < mags[1] / mags[0] < 2.5
+        assert 3.0 < mags[2] / mags[0] < 5.0
+
+    def test_field_smoothness(self):
+        """The gaussian-smoothed field must vary slowly: neighboring-pixel
+        displacement differences are small relative to the amplitude."""
+        import jax
+
+        aug = self._aug(control_point_spacing=8, sigma=(16.0, 16.0), alpha=(4.0, 4.0))
+        params = aug._sample(jax.random.PRNGKey(3), (64, 64))
+        disp = np.asarray(aug._displacement((64, 64), params["noise"]))
+        amp = np.abs(disp).max() + 1e-8
+        grad = max(np.abs(np.diff(disp, axis=1)).max(), np.abs(np.diff(disp, axis=2)).max())
+        assert grad / amp < 0.2, f"field not smooth: {grad / amp}"
+
+    def test_raw_label_share_field(self):
+        """Raw (linear) and labels (nearest) must be warped by the same field:
+        a label rendered from thresholded raw stays consistent after warping."""
+        import jax
+        import jax.numpy as jnp
+
+        aug = self._aug(control_point_spacing=8, alpha=(3.0, 3.0))
+        raw = np.zeros((1, 64, 64), "float32")
+        raw[0, 16:48, 16:48] = 1.0
+        labels = (raw > 0.5).astype("float32")
+        params = aug.sample_params(jax.random.PRNGKey(1), (64, 64))
+        params["apply"] = jnp.asarray(True)
+        wr = np.asarray(aug.apply(jnp.asarray(raw), params, order=1))
+        wl = np.asarray(aug.apply(jnp.asarray(labels), params, order=0))
+        # where the warped raw is confidently inside/outside, the warped label agrees
+        inside, outside = wr > 0.9, wr < 0.1
+        assert (wl[inside] == 1).mean() > 0.98
+        assert (wl[outside] == 0).mean() > 0.98
