@@ -16,3 +16,7 @@ from .sponge_em import get_sponge_em_data, get_sponge_em_dataset, get_sponge_em_
 from .uro_cell import get_uro_cell_data, get_uro_cell_dataset, get_uro_cell_loader, get_uro_cell_paths
 from .nuc_mm import get_nuc_mm_data, get_nuc_mm_dataset, get_nuc_mm_loader, get_nuc_mm_paths
 from .axonem import get_axonem_data, get_axonem_dataset, get_axonem_loader, get_axonem_paths
+from .cem import (
+    get_mitolab_data, get_mitolab_dataset, get_mitolab_loader, get_mitolab_paths,
+    get_benchmark_data, get_benchmark_dataset, get_benchmark_loader, get_benchmark_paths,
+)

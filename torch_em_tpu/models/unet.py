@@ -81,17 +81,37 @@ def _get_postprocessing(postprocessing):
 # Norms (channels-last)
 # ---------------------------------------------------------------------------
 
+# Fused Pallas instance-norm kernel (single HBM sweep per direction) for
+# slabs that fit VMEM; module-level switch for benchmarking/debugging.
+PALLAS_NORM = True
+
+
 def _instance_norm(x, eps=1e-5, stat_groups=None):
     """Parameter-free instance norm over spatial axes (torch InstanceNorm default).
 
     Single-pass statistics (E[x^2] - E[x]^2) with f32 accumulation: one data
-    sweep instead of jnp.var's two, and XLA fuses the two reductions.
+    sweep instead of jnp.var's two, and XLA fuses the two reductions. On TPU,
+    slabs that fit VMEM use the fused Pallas kernel (ops/pallas/norm.py)
+    instead: one HBM read forward, two backward (XLA needs 2 / 4).
 
     ``stat_groups`` (None = standard per-sample stats) supports the 2.5D
     execution mode, where the depth axis of 3D data is folded into the batch:
     the batch rows are split into ``stat_groups`` groups (one per original
     sample) that share statistics.
     """
+    if PALLAS_NORM and stat_groups is None and x.ndim >= 3:
+        try:
+            from ..ops.pallas.norm import instance_norm_pallas, supports_pallas_norm
+
+            # param init runs under jax.default_device(cpu) where the TPU
+            # kernel cannot lower; skip pallas there
+            dd = jax.config.jax_default_device
+            on_cpu = dd is not None and getattr(dd, "platform", None) == "cpu"
+            if jax.default_backend() == "tpu" and not on_cpu and \
+                    supports_pallas_norm(x.shape, x.dtype):
+                return instance_norm_pallas(x, eps=eps)
+        except ImportError:
+            pass
     if stat_groups is not None:
         g = stat_groups
         rows = x.shape[0] // g
