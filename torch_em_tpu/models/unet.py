@@ -206,6 +206,25 @@ def _expand_kernel_w4(w):
     return wp.reshape(kh, 3, 4 * ci, 4 * co)
 
 
+def _instance_norm_packed(x, c, eps=1e-5, stat_groups=None):
+    """Instance norm on a width-packed (B, H, W/4, 4C) tensor (packed channel
+    index = dj*C + c): per-channel statistics are the equal-weight average of
+    the four within-block positions' statistics — exact, no unpacking."""
+    g = stat_groups if stat_groups is not None else x.shape[0]
+    rows = x.shape[0] // g
+    xg = x.reshape((g, rows) + x.shape[1:])
+    axes = (1, 2, 3)
+    mean4 = jnp.mean(xg, axis=axes, dtype=jnp.float32)                  # (g, 4C)
+    mean_sq4 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=axes)  # (g, 4C)
+    mean = jnp.mean(mean4.reshape(g, 4, c), axis=1)                     # (g, C)
+    mean_sq = jnp.mean(mean_sq4.reshape(g, 4, c), axis=1)
+    scale = jax.lax.rsqrt(mean_sq - mean * mean + eps)
+    bshape = (g, 1, 1, 1, 4 * c)
+    mean_p = jnp.tile(mean, (1, 4)).reshape(bshape).astype(x.dtype)
+    scale_p = jnp.tile(scale, (1, 4)).reshape(bshape).astype(x.dtype)
+    return ((xg - mean_p) * scale_p).reshape(x.shape)
+
+
 def _conv2d_w4(x, kernel):
     """3x3/pad-1 2D conv computed in a width-packed (1x4 -> channels)
     representation.
@@ -281,16 +300,24 @@ class _Conv2dFast(nn.Module):
     features: int
     kernel_size: Tuple[int, int]
     padding: Any
+    packed: bool = False  # expects/produces width-packed (B, H, W/4, 4C) tensors
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        in_features = x.shape[-1]
+        in_features = x.shape[-1] // 4 if self.packed else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(batch_axis=(), in_axis=-2, out_axis=-1),
             tuple(self.kernel_size) + (in_features, self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.packed:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), _expand_kernel_w4(kernel.astype(self.dtype)),
+                (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=self.dtype,
+            )
+            return y + jnp.tile(bias, 4).astype(self.dtype)
         if _use_s2d(x, kernel, self.padding):
             y = _conv2d_w4(x.astype(self.dtype), kernel.astype(self.dtype))
         else:
@@ -312,16 +339,25 @@ class _Conv3dFast(nn.Module):
     features: int
     kernel_size: Tuple[int, int, int]
     padding: Any
+    packed: bool = False  # 2.5D mode: width-packed (B, H, W/4, 4C) in/out
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        in_features = x.shape[-1]
+        in_features = x.shape[-1] // 4 if self.packed else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(batch_axis=(), in_axis=-2, out_axis=-1),
             self.kernel_size + (in_features, self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.packed:
+            assert x.ndim == 4 and self.kernel_size[0] == 1
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), _expand_kernel_w4(kernel[0].astype(self.dtype)),
+                (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=self.dtype,
+            )
+            return y + jnp.tile(bias, 4).astype(self.dtype)
         if x.ndim == 4:
             assert self.kernel_size[0] == 1, "2.5D mode requires depth-1 kernels."
             if _use_s2d(x, kernel[0], self.padding[1:]):
@@ -358,11 +394,44 @@ class ConvBlock(nn.Module):
     stat_groups: Optional[int] = None  # 2.5D mode: norm-stat groups
     dtype: Any = jnp.float32
 
+    def _packed_ok(self, x, ks, pad):
+        """Whole-block width-packed execution: both convs run in the packed
+        (B, H, W/4, 4C) representation and the pack/unpack reshapes happen
+        once per block instead of once per conv. Requires 3x3/pad-1 spatial
+        kernels, small channel counts and an InstanceNorm/no-norm block."""
+        if not (W4_PACKING and self.fast_conv and x.ndim == 4):
+            return False
+        if self.norm not in (None, "InstanceNorm"):
+            return False
+        if tuple(ks[-2:]) != (3, 3) or tuple(pad[-1]) != (1, 1) or tuple(pad[-2]) != (1, 1):
+            return False
+        if self.dim == 3 and ks[0] != 1:
+            return False
+        if max(x.shape[-1], self.out_channels) > 64:
+            return False
+        return x.shape[-2] % 4 == 0 and x.shape[-3] >= 64 and x.shape[-2] >= 64
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         ks, pad = _conv_padding(self.kernel_size, self.padding, self.dim)
         use_fast = self.fast_conv and self.dim == 3
+        packed = self._packed_ok(x, ks, pad)
+        if packed:
+            b, h, w, c_in = x.shape
+            x = x.reshape(b, h, w // 4, 4 * c_in)
         for i in range(2):
+            if packed:
+                if self.norm == "InstanceNorm":
+                    x = _instance_norm_packed(x, x.shape[-1] // 4,
+                                              stat_groups=self.stat_groups)
+                if self.dim == 3:
+                    x = _Conv3dFast(self.out_channels, tuple(ks), pad, packed=True,
+                                    dtype=self.dtype, name=f"conv{i}")(x)
+                else:
+                    x = _Conv2dFast(self.out_channels, tuple(ks), pad, packed=True,
+                                    dtype=self.dtype, name=f"conv{i}")(x)
+                x = nn.relu(x)
+                continue
             x = _NormLayer(self.norm, stat_groups=self.stat_groups, dtype=self.dtype,
                            name=f"norm{i}")(x, train=train)
             if use_fast:
@@ -375,6 +444,9 @@ class ConvBlock(nn.Module):
                 x = nn.Conv(self.out_channels, ks, padding=pad, dtype=self.dtype,
                             name=f"conv{i}")(x)
             x = nn.relu(x)
+        if packed:
+            b, h, w4, _ = x.shape
+            x = x.reshape(b, h, w4 * 4, self.out_channels)
         return x
 
 
