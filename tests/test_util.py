@@ -136,3 +136,48 @@ class TestGridSearch:
         )
         assert "min_size" in best_params
         assert 0 <= best_score <= 1
+
+
+class TestMedicalIO:
+    """Round-trip tests for the pure-numpy NIfTI / MetaImage readers."""
+
+    def test_nifti_roundtrip(self, tmp_path):
+        from torch_em_tpu.utils.medical_io import load_nifti, save_nifti
+
+        for dtype in ("uint8", "int16", "float32"):
+            vol = (np.random.rand(13, 17, 9) * 100).astype(dtype)
+            p = str(tmp_path / f"vol_{dtype}.nii")
+            save_nifti(p, vol)
+            back = load_nifti(p)
+            assert back.shape == vol.shape
+            np.testing.assert_allclose(np.asarray(back), vol)
+
+    def test_nifti_gzip(self, tmp_path):
+        from torch_em_tpu.utils.medical_io import load_nifti, save_nifti
+
+        vol = (np.random.rand(8, 8, 8) * 10).astype("float32")
+        p = str(tmp_path / "vol.nii.gz")
+        save_nifti(p, vol)
+        np.testing.assert_allclose(np.asarray(load_nifti(p)), vol)
+
+    def test_mha_roundtrip(self, tmp_path):
+        from torch_em_tpu.utils.medical_io import load_mha, save_mha
+
+        for compressed in (True, False):
+            vol = (np.random.rand(5, 12, 7) * 100).astype("int16")
+            p = str(tmp_path / f"vol_{compressed}.mha")
+            save_mha(p, vol, compressed=compressed)
+            back = load_mha(p)
+            assert back.shape == vol.shape
+            np.testing.assert_array_equal(back, vol)
+
+    def test_load_data_dispatch(self, tmp_path):
+        from torch_em_tpu.utils.io import load_data
+        from torch_em_tpu.utils.medical_io import save_mha, save_nifti
+
+        vol = (np.random.rand(4, 6, 5) * 50).astype("float32")
+        p1, p2 = str(tmp_path / "a.nii.gz"), str(tmp_path / "b.mha")
+        save_nifti(p1, vol)
+        save_mha(p2, vol)
+        np.testing.assert_allclose(np.asarray(load_data(p1)), vol)
+        np.testing.assert_allclose(np.asarray(load_data(p2)), vol)

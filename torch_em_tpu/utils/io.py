@@ -207,6 +207,14 @@ def load_data(
         return _lazy_image(path)
     if ext in NUMPY_EXTENSIONS:
         return np.load(path, mmap_mode="r" if mode == "r" else None)
+    if str(path).lower().endswith((".nii", ".nii.gz")):
+        from .medical_io import load_nifti
+
+        return load_nifti(path)
+    if ext in (".mha", ".mhd"):
+        from .medical_io import load_mha
+
+        return load_mha(path)
     raise ValueError(f"Unsupported data format: {ext} ({path}).")
 
 
