@@ -8,3 +8,6 @@ from .montgomery import (
 from .isic import get_isic_data, get_isic_dataset, get_isic_loader, get_isic_paths
 from .drive import get_drive_data, get_drive_dataset, get_drive_loader, get_drive_paths
 from .jsrt import get_jsrt_data, get_jsrt_dataset, get_jsrt_loader, get_jsrt_paths
+from .jnuifm import get_jnuifm_data, get_jnuifm_dataset, get_jnuifm_loader, get_jnuifm_paths
+from .psfhs import get_psfhs_data, get_psfhs_dataset, get_psfhs_loader, get_psfhs_paths
+from .micro_usp import get_micro_usp_data, get_micro_usp_dataset, get_micro_usp_loader, get_micro_usp_paths

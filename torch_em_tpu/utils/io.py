@@ -139,6 +139,14 @@ def load_image(image_path: str, memmap: bool = True) -> np.ndarray:
     ext = os.path.splitext(image_path)[1].lower()
     if ext in NUMPY_EXTENSIONS:
         return np.load(image_path, mmap_mode="r" if memmap else None)
+    if str(image_path).lower().endswith((".nii", ".nii.gz")):
+        from .medical_io import load_nifti
+
+        return load_nifti(image_path)
+    if ext in (".mha", ".mhd"):
+        from .medical_io import load_mha
+
+        return load_mha(image_path)
     from PIL import Image
 
     with Image.open(image_path) as im:
