@@ -31,3 +31,11 @@ from .cellseg_3d import (
 )
 from .toiam import get_toiam_data, get_toiam_dataset, get_toiam_loader, get_toiam_paths
 from .dic_hepg2 import get_dic_hepg2_data, get_dic_hepg2_dataset, get_dic_hepg2_loader, get_dic_hepg2_paths
+from .organoidnet import (
+    get_organoidnet_data, get_organoidnet_dataset, get_organoidnet_loader, get_organoidnet_paths,
+)
+from .yeastsam import get_yeastsam_data, get_yeastsam_dataset, get_yeastsam_loader, get_yeastsam_paths
+from .brain_organoids import (
+    get_brain_organoids_data, get_brain_organoids_dataset, get_brain_organoids_loader,
+    get_brain_organoids_paths,
+)

@@ -11,3 +11,8 @@ from .jsrt import get_jsrt_data, get_jsrt_dataset, get_jsrt_loader, get_jsrt_pat
 from .jnuifm import get_jnuifm_data, get_jnuifm_dataset, get_jnuifm_loader, get_jnuifm_paths
 from .psfhs import get_psfhs_data, get_psfhs_dataset, get_psfhs_loader, get_psfhs_paths
 from .micro_usp import get_micro_usp_data, get_micro_usp_dataset, get_micro_usp_loader, get_micro_usp_paths
+from .acouslic_ai import (
+    get_acouslic_ai_data, get_acouslic_ai_dataset, get_acouslic_ai_loader, get_acouslic_ai_paths,
+)
+from .spider import get_spider_data, get_spider_dataset, get_spider_loader, get_spider_paths
+from .isles import get_isles_data, get_isles_dataset, get_isles_loader, get_isles_paths
