@@ -39,3 +39,12 @@ from .brain_organoids import (
     get_brain_organoids_data, get_brain_organoids_dataset, get_brain_organoids_loader,
     get_brain_organoids_paths,
 )
+from .bac_mother import get_bac_mother_data, get_bac_mother_dataset, get_bac_mother_loader, get_bac_mother_paths
+from .vibrio_cholerae import (
+    get_vibrio_cholerae_data, get_vibrio_cholerae_dataset, get_vibrio_cholerae_loader,
+    get_vibrio_cholerae_paths,
+)
+from .celegans_atlas import (
+    get_celegans_atlas_data, get_celegans_atlas_dataset, get_celegans_atlas_loader,
+    get_celegans_atlas_paths,
+)
