@@ -103,3 +103,21 @@ class TestDefaultTrainer:
         )
         trainer.fit(epochs=3)
         assert trainer.epoch <= 3
+
+
+class TestProfiling:
+    def test_mfu_counters(self, tmp_path):
+        from torch_em_tpu.utils.profiling import StepTimer, estimate_step_flops, mfu, peak_flops
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda a, b: a @ b)
+        a = jnp.ones((128, 128)), jnp.ones((128, 128))
+        flops = estimate_step_flops(f, *a)
+        assert flops is None or flops > 0
+        # peak lookup returns None on CPU, a number on TPU
+        assert peak_flops() is None or peak_flops() > 0
+        timer = StepTimer(warmup=0)
+        timer.start(); timer.stop()
+        assert timer.mean >= 0
+        assert mfu(0, 1.0) is None or isinstance(mfu(1e9, 0.1), float)

@@ -128,6 +128,7 @@ class DefaultTrainer:
         self.mixed_precision = mixed_precision
         self.early_stopping = early_stopping
         self.train_time = 0.0
+        self._step_flops = None
 
         self.logger_class = logger
         self.logger_kwargs = logger_kwargs
@@ -415,10 +416,11 @@ class DefaultTrainer:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
-    def _train_epoch(self, progress):
+    def _train_epoch(self, progress, profile_dir=None, log_mfu=False):
         n_iter = 0
         t_per_iter = time.time()
         scalar_buffer = []
+        tracing = False
 
         def flush():
             if self.logger is None:
@@ -433,6 +435,21 @@ class DefaultTrainer:
         for x, y in self.train_loader:
             x = self._to_device(x)
             y = self._to_device(y)
+            if profile_dir is not None:
+                # capture a jax.profiler trace of steps [3, 8) (post-compile)
+                if n_iter == 3 and not tracing:
+                    jax.profiler.start_trace(profile_dir)
+                    tracing = True
+                elif n_iter == 8 and tracing:
+                    jax.block_until_ready(self.variables)
+                    jax.profiler.stop_trace()
+                    tracing = False
+            if log_mfu and self._step_flops is None and n_iter == 0:
+                from ..utils.profiling import estimate_step_flops
+
+                self._step_flops = estimate_step_flops(
+                    self._train_step, self.variables, self.opt_state, x, y, self._next_rng()
+                ) or 0.0
             self.variables, self.opt_state, loss, pred = self._train_step(
                 self.variables, self.opt_state, x, y, self._next_rng()
             )
@@ -450,8 +467,18 @@ class DefaultTrainer:
             if self._iteration >= self.max_iteration:
                 break
         flush()
+        if tracing:
+            jax.block_until_ready(self.variables)
+            jax.profiler.stop_trace()
 
         t_per_iter = (time.time() - t_per_iter) / max(n_iter, 1)
+        if log_mfu and self._step_flops:
+            from ..utils.profiling import mfu
+
+            util = mfu(self._step_flops, t_per_iter, self.device)
+            if util is not None:
+                print(f"train step: {self._step_flops / 1e9:.1f} GFLOP, "
+                      f"{t_per_iter:.4f} s/it, MFU {100 * util:.1f}%")
         return t_per_iter
 
     def _validate(self):
@@ -480,9 +507,15 @@ class DefaultTrainer:
         save_every_kth_epoch: Optional[int] = None,
         progress=None,
         overwrite_training: bool = True,
+        profile_dir: Optional[str] = None,
+        log_mfu: bool = False,
     ):
         """Run training (reference default_trainer.py:643); exactly one of
-        'iterations' or 'epochs' must be given."""
+        'iterations' or 'epochs' must be given.
+
+        ``profile_dir`` captures a jax.profiler trace of a few post-compile
+        steps of each epoch; ``log_mfu`` prints step FLOPs / measured MFU
+        (SURVEY §5.1 counters)."""
         best_metric = self._initialize(iterations, load_from_checkpoint, epochs)
 
         if not overwrite_training:
@@ -514,7 +547,7 @@ class DefaultTrainer:
 
         while self._epoch < self.max_epoch and self._iteration < self.max_iteration:
             self.train_loader.set_epoch(self._epoch)
-            t_per_iter = self._train_epoch(progress)
+            t_per_iter = self._train_epoch(progress, profile_dir=profile_dir, log_mfu=log_mfu)
             current_metric = self._validate()
             self.current_metric = current_metric
 
