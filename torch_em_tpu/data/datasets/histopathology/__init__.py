@@ -6,3 +6,5 @@ from .tnbc import get_tnbc_data, get_tnbc_dataset, get_tnbc_loader, get_tnbc_pat
 from .srsanet import get_srsanet_data, get_srsanet_dataset, get_srsanet_loader, get_srsanet_paths
 from .lizard import get_lizard_data, get_lizard_dataset, get_lizard_loader, get_lizard_paths
 from .nuinsseg import get_nuinsseg_data, get_nuinsseg_dataset, get_nuinsseg_loader, get_nuinsseg_paths
+from .lynsec import get_lynsec_data, get_lynsec_dataset, get_lynsec_loader, get_lynsec_paths
+from .cytodark0 import get_cytodark0_data, get_cytodark0_dataset, get_cytodark0_loader, get_cytodark0_paths
