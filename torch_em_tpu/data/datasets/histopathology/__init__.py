@@ -8,3 +8,5 @@ from .lizard import get_lizard_data, get_lizard_dataset, get_lizard_loader, get_
 from .nuinsseg import get_nuinsseg_data, get_nuinsseg_dataset, get_nuinsseg_loader, get_nuinsseg_paths
 from .lynsec import get_lynsec_data, get_lynsec_dataset, get_lynsec_loader, get_lynsec_paths
 from .cytodark0 import get_cytodark0_data, get_cytodark0_dataset, get_cytodark0_loader, get_cytodark0_paths
+from .glas import get_glas_data, get_glas_dataset, get_glas_loader, get_glas_paths
+from .cryonuseg import get_cryonuseg_data, get_cryonuseg_dataset, get_cryonuseg_loader, get_cryonuseg_paths
