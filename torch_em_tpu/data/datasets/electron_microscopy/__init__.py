@@ -20,3 +20,5 @@ from .cem import (
     get_mitolab_data, get_mitolab_dataset, get_mitolab_loader, get_mitolab_paths,
     get_benchmark_data, get_benchmark_dataset, get_benchmark_loader, get_benchmark_paths,
 )
+from .densecell import get_densecell_data, get_densecell_dataset, get_densecell_loader, get_densecell_paths
+from .emps import get_emps_data, get_emps_dataset, get_emps_loader, get_emps_paths
