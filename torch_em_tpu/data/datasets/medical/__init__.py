@@ -16,3 +16,7 @@ from .acouslic_ai import (
 )
 from .spider import get_spider_data, get_spider_dataset, get_spider_loader, get_spider_paths
 from .isles import get_isles_data, get_isles_dataset, get_isles_loader, get_isles_paths
+from .covid19_seg import (
+    get_covid19_seg_data, get_covid19_seg_dataset, get_covid19_seg_loader, get_covid19_seg_paths,
+)
+from .oasis import get_oasis_data, get_oasis_dataset, get_oasis_loader, get_oasis_paths
