@@ -48,3 +48,7 @@ from .celegans_atlas import (
     get_celegans_atlas_data, get_celegans_atlas_dataset, get_celegans_atlas_loader,
     get_celegans_atlas_paths,
 )
+from .microbeseg import (
+    get_microbeseg_data, get_microbeseg_dataset, get_microbeseg_loader, get_microbeseg_paths,
+)
+from .usiigaci import get_usiigaci_data, get_usiigaci_dataset, get_usiigaci_loader, get_usiigaci_paths
