@@ -52,3 +52,4 @@ from .microbeseg import (
     get_microbeseg_data, get_microbeseg_dataset, get_microbeseg_loader, get_microbeseg_paths,
 )
 from .usiigaci import get_usiigaci_data, get_usiigaci_dataset, get_usiigaci_loader, get_usiigaci_paths
+from .brifiseg import get_brifiseg_data, get_brifiseg_dataset, get_brifiseg_loader, get_brifiseg_paths
