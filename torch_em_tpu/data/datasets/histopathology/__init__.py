@@ -10,3 +10,4 @@ from .lynsec import get_lynsec_data, get_lynsec_dataset, get_lynsec_loader, get_
 from .cytodark0 import get_cytodark0_data, get_cytodark0_dataset, get_cytodark0_loader, get_cytodark0_paths
 from .glas import get_glas_data, get_glas_dataset, get_glas_loader, get_glas_paths
 from .cryonuseg import get_cryonuseg_data, get_cryonuseg_dataset, get_cryonuseg_loader, get_cryonuseg_paths
+from .janowczyk import get_janowczyk_data, get_janowczyk_dataset, get_janowczyk_loader, get_janowczyk_paths
