@@ -227,7 +227,7 @@ class MeanTeacherTrainer(DefaultTrainer):
         return jnp.float32(0.0 if ct is None else ct)
 
     # ------------------------------------------------------------ training
-    def _train_epoch(self, progress):
+    def _train_epoch(self, progress, **unused_profiling_kwargs):
         if self._semisupervised:
             return self._train_epoch_semisupervised(progress)
         return self._train_epoch_unsupervised(progress)

@@ -81,7 +81,7 @@ class ProbabilisticUNetTrainer(DefaultTrainer):
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._val_step = jax.jit(val_step)
 
-    def _train_epoch(self, progress):
+    def _train_epoch(self, progress, **unused_profiling_kwargs):
         n_iter = 0
         t_start = time.time()
         lr = get_learning_rate(self.opt_state)

@@ -128,7 +128,7 @@ class SPOCOTrainer(DefaultTrainer):
         self._semisup_step = jax.jit(semisup_step, donate_argnums=(0, 1, 2))
         self._val_step = jax.jit(val_step)
 
-    def _train_epoch(self, progress):
+    def _train_epoch(self, progress, **unused_profiling_kwargs):
         n_iter = 0
         t_per_iter = time.time()
         lr = get_learning_rate(self.opt_state)
