@@ -20,3 +20,5 @@ from .covid19_seg import (
     get_covid19_seg_data, get_covid19_seg_dataset, get_covid19_seg_loader, get_covid19_seg_paths,
 )
 from .oasis import get_oasis_data, get_oasis_dataset, get_oasis_loader, get_oasis_paths
+from .amd_sd import get_amd_sd_data, get_amd_sd_dataset, get_amd_sd_loader, get_amd_sd_paths
+from .papila import get_papila_data, get_papila_dataset, get_papila_loader, get_papila_paths
