@@ -22,3 +22,7 @@ from .cem import (
 )
 from .densecell import get_densecell_data, get_densecell_dataset, get_densecell_loader, get_densecell_paths
 from .emps import get_emps_data, get_emps_dataset, get_emps_loader, get_emps_paths
+from .fafb_nuclei import (
+    get_fafb_nuclei_data, get_fafb_nuclei_dataset, get_fafb_nuclei_loader, get_fafb_nuclei_paths,
+)
+from .betaseg import get_betaseg_data, get_betaseg_dataset, get_betaseg_loader, get_betaseg_paths
