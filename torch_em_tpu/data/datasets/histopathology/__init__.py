@@ -11,3 +11,4 @@ from .cytodark0 import get_cytodark0_data, get_cytodark0_dataset, get_cytodark0_
 from .glas import get_glas_data, get_glas_dataset, get_glas_loader, get_glas_paths
 from .cryonuseg import get_cryonuseg_data, get_cryonuseg_dataset, get_cryonuseg_loader, get_cryonuseg_paths
 from .janowczyk import get_janowczyk_data, get_janowczyk_dataset, get_janowczyk_loader, get_janowczyk_paths
+from .monusac import get_monusac_data, get_monusac_dataset, get_monusac_loader, get_monusac_paths
