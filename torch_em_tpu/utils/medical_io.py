@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["load_nifti", "save_nifti", "load_mha", "save_mha"]
+__all__ = ["load_nifti", "save_nifti", "load_mha", "save_mha", "load_nrrd", "save_nrrd"]
 
 # NIfTI datatype codes -> numpy dtypes (nifti1.h)
 _NIFTI_DTYPES = {
@@ -188,4 +188,87 @@ def save_mha(path: str, array: np.ndarray, compressed: bool = True) -> None:
     ]
     with open(path, "wb") as f:
         f.write(("\n".join(lines) + "\n").encode("latin-1"))
+        f.write(raw)
+
+
+_NRRD_DTYPES = {
+    "signed char": np.int8, "int8": np.int8, "int8_t": np.int8,
+    "uchar": np.uint8, "unsigned char": np.uint8, "uint8": np.uint8, "uint8_t": np.uint8,
+    "short": np.int16, "int16": np.int16, "int16_t": np.int16,
+    "ushort": np.uint16, "unsigned short": np.uint16, "uint16": np.uint16, "uint16_t": np.uint16,
+    "int": np.int32, "int32": np.int32, "int32_t": np.int32,
+    "uint": np.uint32, "unsigned int": np.uint32, "uint32": np.uint32, "uint32_t": np.uint32,
+    "long long": np.int64, "int64": np.int64, "int64_t": np.int64,
+    "uint64": np.uint64, "uint64_t": np.uint64,
+    "float": np.float32, "double": np.float64,
+}
+_NRRD_CODES = {
+    np.dtype(np.int8): "int8", np.dtype(np.uint8): "uint8",
+    np.dtype(np.int16): "int16", np.dtype(np.uint16): "uint16",
+    np.dtype(np.int32): "int32", np.dtype(np.uint32): "uint32",
+    np.dtype(np.int64): "int64", np.dtype(np.uint64): "uint64",
+    np.dtype(np.float32): "float", np.dtype(np.float64): "double",
+}
+
+
+def load_nrrd(path: str, return_header: bool = False):
+    """Read an NRRD volume; returns a Fortran-ordered array with shape equal
+    to the header's ``sizes`` (matching ``nrrd.read``)."""
+    header = {}
+    with open(path, "rb") as f:
+        magic = f.readline()
+        if not magic.startswith(b"NRRD"):
+            raise ValueError(f"{path} is not an NRRD file.")
+        while True:
+            line = f.readline()
+            if line in (b"\n", b"\r\n", b""):
+                break
+            text = line.decode("latin-1").strip()
+            if text.startswith("#"):
+                continue
+            for sep in (": ", ":="):
+                if sep in text:
+                    key, value = text.split(sep, 1)
+                    header[key.strip().lower()] = value.strip()
+                    break
+        raw = f.read()
+
+    if "data file" in header or "datafile" in header:
+        data_file = header.get("data file", header.get("datafile"))
+        with open(os.path.join(os.path.dirname(path), data_file), "rb") as df:
+            raw = df.read()
+    encoding = header.get("encoding", "raw").lower()
+    if encoding in ("gzip", "gz"):
+        raw = gzip.decompress(raw)
+    elif encoding not in ("raw",):
+        raise ValueError(f"Unsupported NRRD encoding: {encoding}.")
+    sizes = tuple(int(s) for s in header["sizes"].split())
+    dtype = np.dtype(_NRRD_DTYPES[header["type"].strip()])
+    if header.get("endian", "little") == "big":
+        dtype = dtype.newbyteorder(">")
+    data = np.frombuffer(raw[: int(np.prod(sizes)) * dtype.itemsize], dtype=dtype)
+    array = data.reshape(sizes, order="F")
+    if return_header:
+        return array, header
+    return array
+
+
+def save_nrrd(path: str, array: np.ndarray, compressed: bool = True) -> None:
+    """Write an NRRD volume (Fortran voxel order, matching ``nrrd.write``)."""
+    array = np.asarray(array)
+    if array.dtype not in _NRRD_CODES:
+        array = array.astype("float32")
+    raw = np.asfortranarray(array).tobytes(order="F")
+    if compressed:
+        raw = gzip.compress(raw)
+    header = [
+        "NRRD0004",
+        f"type: {_NRRD_CODES[array.dtype]}",
+        f"dimension: {array.ndim}",
+        f"sizes: {' '.join(str(s) for s in array.shape)}",
+        f"encoding: {'gzip' if compressed else 'raw'}",
+        "endian: little",
+    ]
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n\n").encode("latin-1"))
         f.write(raw)
