@@ -22,3 +22,4 @@ from .covid19_seg import (
 from .oasis import get_oasis_data, get_oasis_dataset, get_oasis_loader, get_oasis_paths
 from .amd_sd import get_amd_sd_data, get_amd_sd_dataset, get_amd_sd_loader, get_amd_sd_paths
 from .papila import get_papila_data, get_papila_dataset, get_papila_loader, get_papila_paths
+from .han_seg import get_han_seg_data, get_han_seg_dataset, get_han_seg_loader, get_han_seg_paths
