@@ -23,3 +23,5 @@ from .oasis import get_oasis_data, get_oasis_dataset, get_oasis_loader, get_oasi
 from .amd_sd import get_amd_sd_data, get_amd_sd_dataset, get_amd_sd_loader, get_amd_sd_paths
 from .papila import get_papila_data, get_papila_dataset, get_papila_loader, get_papila_paths
 from .han_seg import get_han_seg_data, get_han_seg_dataset, get_han_seg_loader, get_han_seg_paths
+from .camus import get_camus_data, get_camus_dataset, get_camus_loader, get_camus_paths
+from .curvas import get_curvas_data, get_curvas_dataset, get_curvas_loader, get_curvas_paths
