@@ -54,3 +54,4 @@ from .microbeseg import (
 from .usiigaci import get_usiigaci_data, get_usiigaci_dataset, get_usiigaci_loader, get_usiigaci_paths
 from .brifiseg import get_brifiseg_data, get_brifiseg_dataset, get_brifiseg_loader, get_brifiseg_paths
 from .nisnet3d import get_nisnet3d_data, get_nisnet3d_dataset, get_nisnet3d_loader, get_nisnet3d_paths
+from .deepseas import get_deepseas_data, get_deepseas_dataset, get_deepseas_loader, get_deepseas_paths
