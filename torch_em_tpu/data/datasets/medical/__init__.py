@@ -25,3 +25,6 @@ from .papila import get_papila_data, get_papila_dataset, get_papila_loader, get_
 from .han_seg import get_han_seg_data, get_han_seg_dataset, get_han_seg_loader, get_han_seg_paths
 from .camus import get_camus_data, get_camus_dataset, get_camus_loader, get_camus_paths
 from .curvas import get_curvas_data, get_curvas_dataset, get_curvas_loader, get_curvas_paths
+from .hil_toothseg import (
+    get_hil_toothseg_data, get_hil_toothseg_dataset, get_hil_toothseg_loader, get_hil_toothseg_paths,
+)
