@@ -55,3 +55,9 @@ from .usiigaci import get_usiigaci_data, get_usiigaci_dataset, get_usiigaci_load
 from .brifiseg import get_brifiseg_data, get_brifiseg_dataset, get_brifiseg_loader, get_brifiseg_paths
 from .nisnet3d import get_nisnet3d_data, get_nisnet3d_dataset, get_nisnet3d_loader, get_nisnet3d_paths
 from .deepseas import get_deepseas_data, get_deepseas_dataset, get_deepseas_loader, get_deepseas_paths
+from .tissuenet import get_tissuenet_data, get_tissuenet_dataset, get_tissuenet_loader, get_tissuenet_paths
+from .cellpose import get_cellpose_data, get_cellpose_dataset, get_cellpose_loader, get_cellpose_paths
+from .dynamicnuclearnet import (
+    get_dynamicnuclearnet_data, get_dynamicnuclearnet_dataset, get_dynamicnuclearnet_loader,
+    get_dynamicnuclearnet_paths,
+)
