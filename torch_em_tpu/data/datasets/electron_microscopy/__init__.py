@@ -26,3 +26,4 @@ from .fafb_nuclei import (
     get_fafb_nuclei_data, get_fafb_nuclei_dataset, get_fafb_nuclei_loader, get_fafb_nuclei_paths,
 )
 from .betaseg import get_betaseg_data, get_betaseg_dataset, get_betaseg_loader, get_betaseg_paths
+from .aimseg import get_aimseg_data, get_aimseg_dataset, get_aimseg_loader, get_aimseg_paths
