@@ -28,3 +28,4 @@ from .curvas import get_curvas_data, get_curvas_dataset, get_curvas_loader, get_
 from .hil_toothseg import (
     get_hil_toothseg_data, get_hil_toothseg_dataset, get_hil_toothseg_loader, get_hil_toothseg_paths,
 )
+from .pengwin import get_pengwin_data, get_pengwin_dataset, get_pengwin_loader, get_pengwin_paths
