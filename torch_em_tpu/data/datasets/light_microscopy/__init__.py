@@ -61,3 +61,4 @@ from .dynamicnuclearnet import (
     get_dynamicnuclearnet_data, get_dynamicnuclearnet_dataset, get_dynamicnuclearnet_loader,
     get_dynamicnuclearnet_paths,
 )
+from .oocyteseg import get_oocyteseg_data, get_oocyteseg_dataset, get_oocyteseg_loader, get_oocyteseg_paths

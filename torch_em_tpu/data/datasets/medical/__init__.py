@@ -29,3 +29,6 @@ from .hil_toothseg import (
     get_hil_toothseg_data, get_hil_toothseg_dataset, get_hil_toothseg_loader, get_hil_toothseg_paths,
 )
 from .pengwin import get_pengwin_data, get_pengwin_dataset, get_pengwin_loader, get_pengwin_paths
+from .ct_cadaiver import (
+    get_ct_cadaiver_data, get_ct_cadaiver_dataset, get_ct_cadaiver_loader, get_ct_cadaiver_paths,
+)
