@@ -64,3 +64,6 @@ from .dynamicnuclearnet import (
 from .oocyteseg import get_oocyteseg_data, get_oocyteseg_dataset, get_oocyteseg_loader, get_oocyteseg_paths
 from .glioma_c6 import get_glioma_c6_data, get_glioma_c6_dataset, get_glioma_c6_loader, get_glioma_c6_paths
 from .vicar import get_vicar_data, get_vicar_dataset, get_vicar_loader, get_vicar_paths
+from .yeastcellseg import (
+    get_yeastcellseg_data, get_yeastcellseg_dataset, get_yeastcellseg_loader, get_yeastcellseg_paths,
+)
