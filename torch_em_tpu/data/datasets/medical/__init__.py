@@ -32,3 +32,7 @@ from .pengwin import get_pengwin_data, get_pengwin_dataset, get_pengwin_loader, 
 from .ct_cadaiver import (
     get_ct_cadaiver_data, get_ct_cadaiver_dataset, get_ct_cadaiver_loader, get_ct_cadaiver_paths,
 )
+from .motum import get_motum_data, get_motum_dataset, get_motum_loader, get_motum_paths
+from .mice_tumseg import (
+    get_mice_tumseg_data, get_mice_tumseg_dataset, get_mice_tumseg_loader, get_mice_tumseg_paths,
+)
