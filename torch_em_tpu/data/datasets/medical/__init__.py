@@ -36,3 +36,6 @@ from .motum import get_motum_data, get_motum_dataset, get_motum_loader, get_motu
 from .mice_tumseg import (
     get_mice_tumseg_data, get_mice_tumseg_dataset, get_mice_tumseg_loader, get_mice_tumseg_paths,
 )
+from .leg_3d_us import (
+    get_leg_3d_us_data, get_leg_3d_us_dataset, get_leg_3d_us_loader, get_leg_3d_us_paths,
+)
