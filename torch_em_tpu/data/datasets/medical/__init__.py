@@ -40,3 +40,4 @@ from .leg_3d_us import (
     get_leg_3d_us_data, get_leg_3d_us_dataset, get_leg_3d_us_loader, get_leg_3d_us_paths,
 )
 from .sega import get_sega_data, get_sega_dataset, get_sega_loader, get_sega_paths
+from .verse import get_verse_data, get_verse_dataset, get_verse_loader, get_verse_paths
