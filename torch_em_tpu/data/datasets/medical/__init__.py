@@ -42,3 +42,7 @@ from .leg_3d_us import (
 from .sega import get_sega_data, get_sega_dataset, get_sega_loader, get_sega_paths
 from .verse import get_verse_data, get_verse_dataset, get_verse_loader, get_verse_paths
 from .kvasir import get_kvasir_data, get_kvasir_dataset, get_kvasir_loader, get_kvasir_paths
+from .uwaterloo_skin import (
+    get_uwaterloo_skin_data, get_uwaterloo_skin_dataset, get_uwaterloo_skin_loader,
+    get_uwaterloo_skin_paths,
+)
