@@ -46,3 +46,4 @@ from .uwaterloo_skin import (
     get_uwaterloo_skin_data, get_uwaterloo_skin_dataset, get_uwaterloo_skin_loader,
     get_uwaterloo_skin_paths,
 )
+from .abus import get_abus_data, get_abus_dataset, get_abus_loader, get_abus_paths
