@@ -181,3 +181,15 @@ class TestMedicalIO:
         save_mha(p2, vol)
         np.testing.assert_allclose(np.asarray(load_data(p1)), vol)
         np.testing.assert_allclose(np.asarray(load_data(p2)), vol)
+
+    def test_nrrd_and_mrc_roundtrip(self, tmp_path):
+        from torch_em_tpu.utils.io import load_data
+        from torch_em_tpu.utils.medical_io import load_mrc, load_nrrd, save_mrc, save_nrrd
+
+        vol = (np.random.rand(6, 8, 10) * 100).astype("float32")
+        p1, p2 = str(tmp_path / "v.nrrd"), str(tmp_path / "v.mrc")
+        save_nrrd(p1, vol)
+        save_mrc(p2, vol)
+        np.testing.assert_allclose(np.asarray(load_nrrd(p1)), vol)
+        np.testing.assert_allclose(np.asarray(load_mrc(p2)), vol)
+        np.testing.assert_allclose(np.asarray(load_data(p2)), vol)

@@ -223,6 +223,14 @@ def load_data(
         from .medical_io import load_mha
 
         return load_mha(path)
+    if ext in (".mrc", ".rec"):
+        from .medical_io import load_mrc
+
+        return load_mrc(path)
+    if ext == ".nrrd":
+        from .medical_io import load_nrrd
+
+        return load_nrrd(path)
     raise ValueError(f"Unsupported data format: {ext} ({path}).")
 
 

@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["load_nifti", "save_nifti", "load_mha", "save_mha", "load_nrrd", "save_nrrd"]
+__all__ = ["load_nifti", "save_nifti", "load_mha", "save_mha", "load_nrrd", "save_nrrd", "load_mrc", "save_mrc"]
 
 # NIfTI datatype codes -> numpy dtypes (nifti1.h)
 _NIFTI_DTYPES = {
@@ -272,3 +272,51 @@ def save_nrrd(path: str, array: np.ndarray, compressed: bool = True) -> None:
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n\n").encode("latin-1"))
         f.write(raw)
+
+
+_MRC_MODES = {0: np.int8, 1: np.int16, 2: np.float32, 3: np.complex64,
+              4: np.complex64, 6: np.uint16, 12: np.float16, 101: np.uint8}
+_MRC_CODES = {np.dtype(np.int8): 0, np.dtype(np.int16): 1, np.dtype(np.float32): 2,
+              np.dtype(np.uint16): 6, np.dtype(np.float16): 12}
+
+
+def load_mrc(path: str) -> np.ndarray:
+    """Read an MRC2014 volume (cryo-EM standard); returns a C-ordered
+    (Z, Y, X) array like ``mrcfile.open(path).data``."""
+    with _open_maybe_gzip(path) as f:
+        header = f.read(1024)
+        if len(header) < 1024:
+            raise ValueError(f"Truncated MRC header in {path}.")
+        machst = header[212:216]
+        bo = ">" if machst[:2] == b"\x11\x11" else "<"
+        nx, ny, nz = struct.unpack(bo + "3i", header[0:12])
+        mode = struct.unpack(bo + "i", header[12:16])[0]
+        nsymbt = struct.unpack(bo + "i", header[92:96])[0]
+        if mode not in _MRC_MODES:
+            raise ValueError(f"Unsupported MRC mode {mode} in {path}.")
+        dtype = np.dtype(_MRC_MODES[mode]).newbyteorder(bo)
+        f.seek(1024 + nsymbt)
+        data = np.frombuffer(f.read(nx * ny * nz * dtype.itemsize), dtype=dtype)
+    return data.reshape(nz, ny, nx)
+
+
+def save_mrc(path: str, array: np.ndarray) -> None:
+    """Write an MRC2014 volume from a C-ordered (Z, Y, X) array."""
+    array = np.ascontiguousarray(array)
+    if array.dtype not in _MRC_CODES:
+        array = array.astype("float32")
+    nz, ny, nx = array.shape
+    header = bytearray(1024)
+    struct.pack_into("<3i", header, 0, nx, ny, nz)
+    struct.pack_into("<i", header, 12, _MRC_CODES[array.dtype])
+    struct.pack_into("<3i", header, 28, nx, ny, nz)   # mx, my, mz
+    struct.pack_into("<3f", header, 40, float(nx), float(ny), float(nz))  # cella
+    struct.pack_into("<3i", header, 64, 1, 2, 3)      # axis mapping
+    struct.pack_into("<2f", header, 76, float(array.min()), float(array.max()))
+    struct.pack_into("<f", header, 84, float(array.mean()))
+    struct.pack_into("<i", header, 92, 0)             # nsymbt
+    header[208:212] = b"MAP "
+    header[212:216] = b"\x44\x44\x00\x00"             # little-endian machine stamp
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(array.tobytes())
