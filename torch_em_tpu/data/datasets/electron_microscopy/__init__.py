@@ -27,3 +27,7 @@ from .fafb_nuclei import (
 )
 from .betaseg import get_betaseg_data, get_betaseg_dataset, get_betaseg_loader, get_betaseg_paths
 from .aimseg import get_aimseg_data, get_aimseg_dataset, get_aimseg_loader, get_aimseg_paths
+from .human_organoids import (
+    get_human_organoids_data, get_human_organoids_dataset, get_human_organoids_loader,
+    get_human_organoids_paths,
+)
