@@ -31,3 +31,7 @@ from .human_organoids import (
     get_human_organoids_data, get_human_organoids_dataset, get_human_organoids_loader,
     get_human_organoids_paths,
 )
+from .deepict import (
+    get_deepict_actin_data, get_deepict_actin_dataset, get_deepict_actin_loader,
+    get_deepict_actin_paths,
+)
