@@ -35,3 +35,4 @@ from .deepict import (
     get_deepict_actin_data, get_deepict_actin_dataset, get_deepict_actin_loader,
     get_deepict_actin_paths,
 )
+from .fib25 import get_fib25_data, get_fib25_dataset, get_fib25_loader, get_fib25_paths
