@@ -36,3 +36,4 @@ from .deepict import (
     get_deepict_actin_paths,
 )
 from .fib25 import get_fib25_data, get_fib25_dataset, get_fib25_loader, get_fib25_paths
+from .manc import get_manc_data, get_manc_dataset, get_manc_loader, get_manc_paths
