@@ -37,3 +37,6 @@ from .deepict import (
 )
 from .fib25 import get_fib25_data, get_fib25_dataset, get_fib25_loader, get_fib25_paths
 from .manc import get_manc_data, get_manc_dataset, get_manc_loader, get_manc_paths
+from .hemibrain import (
+    get_hemibrain_data, get_hemibrain_dataset, get_hemibrain_loader, get_hemibrain_paths,
+)
