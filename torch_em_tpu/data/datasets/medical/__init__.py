@@ -47,3 +47,4 @@ from .uwaterloo_skin import (
     get_uwaterloo_skin_paths,
 )
 from .abus import get_abus_data, get_abus_dataset, get_abus_loader, get_abus_paths
+from .idrid import get_idrid_data, get_idrid_dataset, get_idrid_loader, get_idrid_paths
