@@ -12,3 +12,4 @@ from .glas import get_glas_data, get_glas_dataset, get_glas_loader, get_glas_pat
 from .cryonuseg import get_cryonuseg_data, get_cryonuseg_dataset, get_cryonuseg_loader, get_cryonuseg_paths
 from .janowczyk import get_janowczyk_data, get_janowczyk_dataset, get_janowczyk_loader, get_janowczyk_paths
 from .monusac import get_monusac_data, get_monusac_dataset, get_monusac_loader, get_monusac_paths
+from .nuclick import get_nuclick_data, get_nuclick_dataset, get_nuclick_loader, get_nuclick_paths
