@@ -13,3 +13,4 @@ from .cryonuseg import get_cryonuseg_data, get_cryonuseg_dataset, get_cryonuseg_
 from .janowczyk import get_janowczyk_data, get_janowczyk_dataset, get_janowczyk_loader, get_janowczyk_paths
 from .monusac import get_monusac_data, get_monusac_dataset, get_monusac_loader, get_monusac_paths
 from .nuclick import get_nuclick_data, get_nuclick_dataset, get_nuclick_loader, get_nuclick_paths
+from .cpm import get_cpm_data, get_cpm_dataset, get_cpm_loader, get_cpm_paths
