@@ -40,3 +40,7 @@ from .manc import get_manc_data, get_manc_dataset, get_manc_loader, get_manc_pat
 from .hemibrain import (
     get_hemibrain_data, get_hemibrain_dataset, get_hemibrain_loader, get_hemibrain_paths,
 )
+from .synapseweb_hippocampus import (
+    get_synapseweb_hippocampus_data, get_synapseweb_hippocampus_dataset,
+    get_synapseweb_hippocampus_loader, get_synapseweb_hippocampus_paths,
+)
