@@ -50,3 +50,6 @@ from .abus import get_abus_data, get_abus_dataset, get_abus_loader, get_abus_pat
 from .idrid import get_idrid_data, get_idrid_dataset, get_idrid_loader, get_idrid_paths
 from .ravir import get_ravir_data, get_ravir_dataset, get_ravir_loader, get_ravir_paths
 from .siim_acr import get_siim_acr_data, get_siim_acr_dataset, get_siim_acr_loader, get_siim_acr_paths
+from .fundus_avseg import (
+    get_fundus_avseg_data, get_fundus_avseg_dataset, get_fundus_avseg_loader, get_fundus_avseg_paths,
+)
