@@ -53,3 +53,4 @@ from .siim_acr import get_siim_acr_data, get_siim_acr_dataset, get_siim_acr_load
 from .fundus_avseg import (
     get_fundus_avseg_data, get_fundus_avseg_dataset, get_fundus_avseg_loader, get_fundus_avseg_paths,
 )
+from .oimhs import get_oimhs_data, get_oimhs_dataset, get_oimhs_loader, get_oimhs_paths
