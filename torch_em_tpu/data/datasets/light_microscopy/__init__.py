@@ -67,3 +67,7 @@ from .vicar import get_vicar_data, get_vicar_dataset, get_vicar_loader, get_vica
 from .yeastcellseg import (
     get_yeastcellseg_data, get_yeastcellseg_dataset, get_yeastcellseg_loader, get_yeastcellseg_paths,
 )
+from .hpa import (
+    get_hpa_segmentation_data, get_hpa_segmentation_dataset, get_hpa_segmentation_loader,
+    get_hpa_segmentation_paths,
+)
