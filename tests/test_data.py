@@ -147,3 +147,25 @@ class TestFactory:
         )
         x, y = next(iter(loader))
         assert x.shape == (2, 1, 8, 16, 16)
+
+
+class TestMultiKeyChannels:
+    def test_stacked_keys(self, tmp_path):
+        """One container + a list of keys loads as a lazy channel stack
+        (reference multi-key channel inputs, e.g. HPA)."""
+        import h5py
+
+        from torch_em_tpu.segmentation import default_segmentation_dataset
+
+        p = str(tmp_path / "multi.h5")
+        with h5py.File(p, "w") as f:
+            for c in ("a", "b", "c"):
+                f.create_dataset(f"raw/{c}", data=np.random.rand(64, 64).astype("float32"))
+            f.create_dataset("labels", data=np.random.randint(0, 3, (64, 64)).astype("uint16"))
+        ds = default_segmentation_dataset(
+            [p], ["raw/a", "raw/b", "raw/c"], [p], "labels", (32, 32),
+            ndim=2, with_channels=True,
+        )
+        x, y = ds[0]
+        assert np.asarray(x).shape == (3, 32, 32)
+        assert np.asarray(y).shape == (1, 32, 32)

@@ -198,6 +198,10 @@ def load_data(
             return np.stack([np.asarray(load_image(p)) for p in path])
         keys = key if isinstance(key, (list, tuple)) else [key] * len(path)
         return [load_data(p, k, mode=mode) for p, k in zip(path, keys)]
+    if isinstance(key, (list, tuple)):
+        # one container, several keys -> lazy channel stack (reference
+        # supports multi-key channel inputs, e.g. the HPA channels)
+        return _StackedDatasets([load_data(path, k, mode=mode) for k in key])
 
     ext = os.path.splitext(path)[1].lower()
     if ext in HDF5_EXTENSIONS:
@@ -232,6 +236,31 @@ def load_data(
 
         return load_nrrd(path)
     raise ValueError(f"Unsupported data format: {ext} ({path}).")
+
+
+class _StackedDatasets:
+    """Lazy channel-stack over several same-shaped datasets of one container;
+    shape is (C, *spatial) and slicing stacks the per-key results."""
+
+    def __init__(self, datasets):
+        assert len(datasets) > 0
+        shapes = {tuple(ds.shape) for ds in datasets}
+        assert len(shapes) == 1, f"Inconsistent shapes for stacked keys: {shapes}"
+        self._datasets = datasets
+        self.shape = (len(datasets),) + tuple(datasets[0].shape)
+        self.dtype = datasets[0].dtype
+        self.ndim = len(self.shape)
+
+    def __getitem__(self, index):
+        if not isinstance(index, tuple):
+            index = (index,)
+        chan = index[0] if len(index) > 0 else slice(None)
+        rest = index[1:] if len(index) > 1 else (slice(None),) * (self.ndim - 1)
+        if isinstance(chan, int):
+            return np.asarray(self._datasets[chan][rest])
+        selected = self._datasets[chan] if isinstance(chan, slice) else \
+            [self._datasets[i] for i in np.atleast_1d(chan)]
+        return np.stack([np.asarray(ds[rest]) for ds in selected])
 
 
 def write_data(path: str, key: Optional[str], data: np.ndarray, chunks: Optional[Tuple[int, ...]] = None) -> None:
