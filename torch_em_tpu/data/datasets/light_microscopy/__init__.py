@@ -71,3 +71,4 @@ from .hpa import (
     get_hpa_segmentation_data, get_hpa_segmentation_dataset, get_hpa_segmentation_loader,
     get_hpa_segmentation_paths,
 )
+from .bbbc030 import get_bbbc030_data, get_bbbc030_dataset, get_bbbc030_loader, get_bbbc030_paths
