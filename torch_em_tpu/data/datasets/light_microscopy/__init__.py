@@ -72,3 +72,7 @@ from .hpa import (
     get_hpa_segmentation_paths,
 )
 from .bbbc030 import get_bbbc030_data, get_bbbc030_dataset, get_bbbc030_loader, get_bbbc030_paths
+from .bitdepth_nucseg import (
+    get_bitdepth_nucseg_data, get_bitdepth_nucseg_dataset, get_bitdepth_nucseg_loader,
+    get_bitdepth_nucseg_paths,
+)
