@@ -76,3 +76,6 @@ from .bitdepth_nucseg import (
     get_bitdepth_nucseg_data, get_bitdepth_nucseg_dataset, get_bitdepth_nucseg_loader,
     get_bitdepth_nucseg_paths,
 )
+from .blastospim import (
+    get_blastospim_data, get_blastospim_dataset, get_blastospim_loader, get_blastospim_paths,
+)
