@@ -44,3 +44,4 @@ from .synapseweb_hippocampus import (
     get_synapseweb_hippocampus_data, get_synapseweb_hippocampus_dataset,
     get_synapseweb_hippocampus_loader, get_synapseweb_hippocampus_paths,
 )
+from .emneuron import get_emneuron_data, get_emneuron_dataset, get_emneuron_loader, get_emneuron_paths
