@@ -79,3 +79,4 @@ from .bitdepth_nucseg import (
 from .blastospim import (
     get_blastospim_data, get_blastospim_dataset, get_blastospim_loader, get_blastospim_paths,
 )
+from .mndino import get_mndino_data, get_mndino_dataset, get_mndino_loader, get_mndino_paths
