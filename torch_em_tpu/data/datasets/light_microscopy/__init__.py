@@ -80,3 +80,7 @@ from .blastospim import (
     get_blastospim_data, get_blastospim_dataset, get_blastospim_loader, get_blastospim_paths,
 )
 from .mndino import get_mndino_data, get_mndino_dataset, get_mndino_loader, get_mndino_paths
+from .bccd import get_bccd_data, get_bccd_dataset, get_bccd_loader, get_bccd_paths
+from .lpc_nucseg import (
+    get_lpc_nucseg_data, get_lpc_nucseg_dataset, get_lpc_nucseg_loader, get_lpc_nucseg_paths,
+)
