@@ -84,3 +84,6 @@ from .bccd import get_bccd_data, get_bccd_dataset, get_bccd_loader, get_bccd_pat
 from .lpc_nucseg import (
     get_lpc_nucseg_data, get_lpc_nucseg_dataset, get_lpc_nucseg_loader, get_lpc_nucseg_paths,
 )
+from .neurosphere import (
+    get_neurosphere_data, get_neurosphere_dataset, get_neurosphere_loader, get_neurosphere_paths,
+)
