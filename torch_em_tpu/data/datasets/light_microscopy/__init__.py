@@ -87,3 +87,4 @@ from .lpc_nucseg import (
 from .neurosphere import (
     get_neurosphere_data, get_neurosphere_dataset, get_neurosphere_loader, get_neurosphere_paths,
 )
+from .cvz_fluo import get_cvz_fluo_data, get_cvz_fluo_dataset, get_cvz_fluo_loader, get_cvz_fluo_paths
