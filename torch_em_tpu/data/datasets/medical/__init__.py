@@ -54,3 +54,4 @@ from .fundus_avseg import (
     get_fundus_avseg_data, get_fundus_avseg_dataset, get_fundus_avseg_loader, get_fundus_avseg_paths,
 )
 from .oimhs import get_oimhs_data, get_oimhs_dataset, get_oimhs_loader, get_oimhs_paths
+from .m2caiseg import get_m2caiseg_data, get_m2caiseg_dataset, get_m2caiseg_loader, get_m2caiseg_paths
