@@ -57,3 +57,4 @@ from .oimhs import get_oimhs_data, get_oimhs_dataset, get_oimhs_loader, get_oimh
 from .m2caiseg import get_m2caiseg_data, get_m2caiseg_dataset, get_m2caiseg_loader, get_m2caiseg_paths
 from .dsad import get_dsad_data, get_dsad_dataset, get_dsad_loader, get_dsad_paths
 from .palm import get_palm_data, get_palm_dataset, get_palm_loader, get_palm_paths
+from .amos import get_amos_data, get_amos_dataset, get_amos_loader, get_amos_paths
