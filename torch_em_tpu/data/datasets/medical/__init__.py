@@ -58,3 +58,4 @@ from .m2caiseg import get_m2caiseg_data, get_m2caiseg_dataset, get_m2caiseg_load
 from .dsad import get_dsad_data, get_dsad_dataset, get_dsad_loader, get_dsad_paths
 from .palm import get_palm_data, get_palm_dataset, get_palm_loader, get_palm_paths
 from .amos import get_amos_data, get_amos_dataset, get_amos_loader, get_amos_paths
+from .lgg_mri import get_lgg_mri_data, get_lgg_mri_dataset, get_lgg_mri_loader, get_lgg_mri_paths
