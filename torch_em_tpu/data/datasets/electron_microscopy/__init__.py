@@ -45,3 +45,4 @@ from .synapseweb_hippocampus import (
     get_synapseweb_hippocampus_loader, get_synapseweb_hippocampus_paths,
 )
 from .emneuron import get_emneuron_data, get_emneuron_dataset, get_emneuron_loader, get_emneuron_paths
+from .probtem import get_probtem_data, get_probtem_dataset, get_probtem_loader, get_probtem_paths
