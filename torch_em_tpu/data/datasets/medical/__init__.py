@@ -59,3 +59,4 @@ from .dsad import get_dsad_data, get_dsad_dataset, get_dsad_loader, get_dsad_pat
 from .palm import get_palm_data, get_palm_dataset, get_palm_loader, get_palm_paths
 from .amos import get_amos_data, get_amos_dataset, get_amos_loader, get_amos_paths
 from .lgg_mri import get_lgg_mri_data, get_lgg_mri_dataset, get_lgg_mri_loader, get_lgg_mri_paths
+from .autopet import get_autopet_data, get_autopet_dataset, get_autopet_loader, get_autopet_paths
