@@ -88,3 +88,7 @@ from .neurosphere import (
     get_neurosphere_data, get_neurosphere_dataset, get_neurosphere_loader, get_neurosphere_paths,
 )
 from .cvz_fluo import get_cvz_fluo_data, get_cvz_fluo_dataset, get_cvz_fluo_loader, get_cvz_fluo_paths
+from .spheroids_hepg2 import (
+    get_spheroids_hepg2_data, get_spheroids_hepg2_dataset, get_spheroids_hepg2_loader,
+    get_spheroids_hepg2_paths,
+)
