@@ -92,3 +92,4 @@ from .spheroids_hepg2 import (
     get_spheroids_hepg2_data, get_spheroids_hepg2_dataset, get_spheroids_hepg2_loader,
     get_spheroids_hepg2_paths,
 )
+from .u20s import get_u20s_data, get_u20s_dataset, get_u20s_loader, get_u20s_paths
