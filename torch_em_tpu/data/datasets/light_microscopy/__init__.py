@@ -93,3 +93,7 @@ from .spheroids_hepg2 import (
     get_spheroids_hepg2_paths,
 )
 from .u20s import get_u20s_data, get_u20s_dataset, get_u20s_loader, get_u20s_paths
+from .scaffold_a549 import (
+    get_scaffold_a549_data, get_scaffold_a549_dataset, get_scaffold_a549_loader,
+    get_scaffold_a549_paths,
+)
