@@ -15,3 +15,4 @@ from .monusac import get_monusac_data, get_monusac_dataset, get_monusac_loader, 
 from .nuclick import get_nuclick_data, get_nuclick_dataset, get_nuclick_loader, get_nuclick_paths
 from .cpm import get_cpm_data, get_cpm_dataset, get_cpm_loader, get_cpm_paths
 from .conic import get_conic_data, get_conic_dataset, get_conic_loader, get_conic_paths
+from .glysac import get_glysac_data, get_glysac_dataset, get_glysac_loader, get_glysac_paths
