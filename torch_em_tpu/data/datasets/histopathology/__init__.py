@@ -17,3 +17,4 @@ from .cpm import get_cpm_data, get_cpm_dataset, get_cpm_loader, get_cpm_paths
 from .conic import get_conic_data, get_conic_dataset, get_conic_loader, get_conic_paths
 from .glysac import get_glysac_data, get_glysac_dataset, get_glysac_loader, get_glysac_paths
 from .bcss import get_bcss_data, get_bcss_dataset, get_bcss_loader, get_bcsss_paths
+from .consep import get_consep_data, get_consep_dataset, get_consep_loader, get_consep_paths
