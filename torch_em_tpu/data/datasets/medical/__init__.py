@@ -60,3 +60,6 @@ from .palm import get_palm_data, get_palm_dataset, get_palm_loader, get_palm_pat
 from .amos import get_amos_data, get_amos_dataset, get_amos_loader, get_amos_paths
 from .lgg_mri import get_lgg_mri_data, get_lgg_mri_dataset, get_lgg_mri_loader, get_lgg_mri_paths
 from .autopet import get_autopet_data, get_autopet_dataset, get_autopet_loader, get_autopet_paths
+from .cholecseg8k import (
+    get_cholecseg8k_data, get_cholecseg8k_dataset, get_cholecseg8k_loader, get_cholecseg8k_paths,
+)
