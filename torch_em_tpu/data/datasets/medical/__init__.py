@@ -63,3 +63,4 @@ from .autopet import get_autopet_data, get_autopet_dataset, get_autopet_loader, 
 from .cholecseg8k import (
     get_cholecseg8k_data, get_cholecseg8k_dataset, get_cholecseg8k_loader, get_cholecseg8k_paths,
 )
+from .feta24 import get_feta24_data, get_feta24_dataset, get_feta24_loader, get_feta24_paths
