@@ -64,3 +64,4 @@ from .cholecseg8k import (
     get_cholecseg8k_data, get_cholecseg8k_dataset, get_cholecseg8k_loader, get_cholecseg8k_paths,
 )
 from .feta24 import get_feta24_data, get_feta24_dataset, get_feta24_loader, get_feta24_paths
+from .segthy import get_segthy_data, get_segthy_dataset, get_segthy_loader, get_segthy_paths
