@@ -66,3 +66,6 @@ from .cholecseg8k import (
 from .feta24 import get_feta24_data, get_feta24_dataset, get_feta24_loader, get_feta24_paths
 from .segthy import get_segthy_data, get_segthy_dataset, get_segthy_loader, get_segthy_paths
 from .piccolo import get_piccolo_data, get_piccolo_dataset, get_piccolo_loader, get_piccolo_paths
+from .toothfairy import (
+    get_toothfairy_data, get_toothfairy_dataset, get_toothfairy_loader, get_toothfairy_paths,
+)
