@@ -69,3 +69,6 @@ from .piccolo import get_piccolo_data, get_piccolo_dataset, get_piccolo_loader, 
 from .toothfairy import (
     get_toothfairy_data, get_toothfairy_dataset, get_toothfairy_loader, get_toothfairy_paths,
 )
+from .duke_liver import (
+    get_duke_liver_data, get_duke_liver_dataset, get_duke_liver_loader, get_duke_liver_paths,
+)
