@@ -72,3 +72,4 @@ from .toothfairy import (
 from .duke_liver import (
     get_duke_liver_data, get_duke_liver_dataset, get_duke_liver_loader, get_duke_liver_paths,
 )
+from .msd import get_msd_data, get_msd_dataset, get_msd_loader
