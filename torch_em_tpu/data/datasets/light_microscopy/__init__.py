@@ -97,3 +97,7 @@ from .scaffold_a549 import (
     get_scaffold_a549_data, get_scaffold_a549_dataset, get_scaffold_a549_loader,
     get_scaffold_a549_paths,
 )
+from .parhyale_regen import (
+    get_parhyale_regen_data, get_parhyale_regen_dataset, get_parhyale_regen_loader,
+    get_parhyale_regen_paths,
+)
