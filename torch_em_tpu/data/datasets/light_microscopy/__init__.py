@@ -101,3 +101,4 @@ from .parhyale_regen import (
     get_parhyale_regen_data, get_parhyale_regen_dataset, get_parhyale_regen_loader,
     get_parhyale_regen_paths,
 )
+from .xpress import get_xpress_data, get_xpress_dataset, get_xpress_loader, get_xpress_paths
