@@ -102,3 +102,4 @@ from .parhyale_regen import (
     get_parhyale_regen_paths,
 )
 from .xpress import get_xpress_data, get_xpress_dataset, get_xpress_loader, get_xpress_paths
+from .cshaper import get_cshaper_data, get_cshaper_dataset, get_cshaper_loader, get_cshaper_paths
