@@ -105,4 +105,4 @@ class TestZooModules:
             loaders = [k for k in dir(mod) if k.startswith("get_") and k.endswith("_loader")]
             assert loaders, f"{pkg.name} exposes no get_*_loader"
             n_modules += 1
-        assert n_modules >= 26, f"only {n_modules} dataset modules"
+        assert n_modules >= 140, f"only {n_modules} dataset modules"
