@@ -104,3 +104,4 @@ from .parhyale_regen import (
 from .xpress import get_xpress_data, get_xpress_dataset, get_xpress_loader, get_xpress_paths
 from .cshaper import get_cshaper_data, get_cshaper_dataset, get_cshaper_loader, get_cshaper_paths
 from .enseg import get_enseg_data, get_enseg_dataset, get_enseg_loader, get_enseg_paths
+from .balf import get_balf_data, get_balf_dataset, get_balf_loader, get_balf_paths
