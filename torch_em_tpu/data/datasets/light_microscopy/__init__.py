@@ -105,3 +105,4 @@ from .xpress import get_xpress_data, get_xpress_dataset, get_xpress_loader, get_
 from .cshaper import get_cshaper_data, get_cshaper_dataset, get_cshaper_loader, get_cshaper_paths
 from .enseg import get_enseg_data, get_enseg_dataset, get_enseg_loader, get_enseg_paths
 from .balf import get_balf_data, get_balf_dataset, get_balf_loader, get_balf_paths
+from .evican import get_evican_data, get_evican_dataset, get_evican_loader, get_evican_paths
