@@ -48,3 +48,6 @@ from .emneuron import get_emneuron_data, get_emneuron_dataset, get_emneuron_load
 from .probtem import get_probtem_data, get_probtem_dataset, get_probtem_loader, get_probtem_paths
 from .waenet import get_waenet_data, get_waenet_dataset, get_waenet_loader, get_waenet_paths
 from .mitoemv2 import get_mitoemv2_data, get_mitoemv2_dataset, get_mitoemv2_loader, get_mitoemv2_paths
+from .axondeepseg import (
+    get_axondeepseg_data, get_axondeepseg_dataset, get_axondeepseg_loader, get_axondeepseg_paths,
+)
