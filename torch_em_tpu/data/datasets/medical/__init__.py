@@ -73,3 +73,4 @@ from .duke_liver import (
     get_duke_liver_data, get_duke_liver_dataset, get_duke_liver_loader, get_duke_liver_paths,
 )
 from .msd import get_msd_data, get_msd_dataset, get_msd_loader
+from .acdc import get_acdc_data, get_acdc_dataset, get_acdc_loader, get_acdc_paths
