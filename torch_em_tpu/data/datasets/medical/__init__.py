@@ -75,3 +75,6 @@ from .duke_liver import (
 from .msd import get_msd_data, get_msd_dataset, get_msd_loader
 from .acdc import get_acdc_data, get_acdc_dataset, get_acdc_loader, get_acdc_paths
 from .mbh_seg import get_mbh_seg_data, get_mbh_seg_dataset, get_mbh_seg_loader, get_mbh_seg_paths
+from .covid_qu_ex import (
+    get_covid_qu_ex_data, get_covid_qu_ex_dataset, get_covid_qu_ex_loader, get_covid_qu_ex_paths,
+)
