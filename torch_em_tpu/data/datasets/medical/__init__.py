@@ -78,3 +78,6 @@ from .mbh_seg import get_mbh_seg_data, get_mbh_seg_dataset, get_mbh_seg_loader, 
 from .covid_qu_ex import (
     get_covid_qu_ex_data, get_covid_qu_ex_dataset, get_covid_qu_ex_loader, get_covid_qu_ex_paths,
 )
+from .cbis_ddsm import (
+    get_cbis_ddsm_data, get_cbis_ddsm_dataset, get_cbis_ddsm_loader, get_cbis_ddsm_paths,
+)
