@@ -81,3 +81,4 @@ from .covid_qu_ex import (
 from .cbis_ddsm import (
     get_cbis_ddsm_data, get_cbis_ddsm_dataset, get_cbis_ddsm_loader, get_cbis_ddsm_paths,
 )
+from .ircadb import get_ircadb_data, get_ircadb_dataset, get_ircadb_loader, get_ircadb_paths
