@@ -82,3 +82,7 @@ from .cbis_ddsm import (
     get_cbis_ddsm_data, get_cbis_ddsm_dataset, get_cbis_ddsm_loader, get_cbis_ddsm_paths,
 )
 from .ircadb import get_ircadb_data, get_ircadb_dataset, get_ircadb_loader, get_ircadb_paths
+from .osic_pulmofib import (
+    get_osic_pulmofib_data, get_osic_pulmofib_dataset, get_osic_pulmofib_loader,
+    get_osic_pulmofib_paths,
+)
