@@ -86,3 +86,4 @@ from .osic_pulmofib import (
     get_osic_pulmofib_data, get_osic_pulmofib_dataset, get_osic_pulmofib_loader,
     get_osic_pulmofib_paths,
 )
+from .chaos import get_chaos_data, get_chaos_dataset, get_chaos_loader, get_chaos_paths
