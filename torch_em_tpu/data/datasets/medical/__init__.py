@@ -87,3 +87,4 @@ from .osic_pulmofib import (
     get_osic_pulmofib_paths,
 )
 from .chaos import get_chaos_data, get_chaos_dataset, get_chaos_loader, get_chaos_paths
+from .btcv import get_btcv_data, get_btcv_dataset, get_btcv_loader, get_btcv_paths
