@@ -51,3 +51,6 @@ from .mitoemv2 import get_mitoemv2_data, get_mitoemv2_dataset, get_mitoemv2_load
 from .axondeepseg import (
     get_axondeepseg_data, get_axondeepseg_dataset, get_axondeepseg_loader, get_axondeepseg_paths,
 )
+from .wildenberg import (
+    get_wildenberg_data, get_wildenberg_dataset, get_wildenberg_loader, get_wildenberg_paths,
+)
