@@ -54,3 +54,6 @@ from .axondeepseg import (
 from .wildenberg import (
     get_wildenberg_data, get_wildenberg_dataset, get_wildenberg_loader, get_wildenberg_paths,
 )
+from .zebrafinch import (
+    get_zebrafinch_data, get_zebrafinch_dataset, get_zebrafinch_loader, get_zebrafinch_paths,
+)
