@@ -106,3 +106,12 @@ from .cshaper import get_cshaper_data, get_cshaper_dataset, get_cshaper_loader, 
 from .enseg import get_enseg_data, get_enseg_dataset, get_enseg_loader, get_enseg_paths
 from .balf import get_balf_data, get_balf_dataset, get_balf_loader, get_balf_paths
 from .evican import get_evican_data, get_evican_dataset, get_evican_loader, get_evican_paths
+from .yeaz import get_yeaz_data, get_yeaz_dataset, get_yeaz_loader, get_yeaz_paths
+from .segpc import get_segpc_data, get_segpc_dataset, get_segpc_loader, get_segpc_paths
+from .cartocell import (
+    get_cartocell_data, get_cartocell_dataset, get_cartocell_loader, get_cartocell_paths,
+)
+from .orgaextractor import (
+    get_orgaextractor_data, get_orgaextractor_dataset, get_orgaextractor_loader,
+    get_orgaextractor_paths,
+)
