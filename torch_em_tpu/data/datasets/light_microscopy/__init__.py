@@ -115,3 +115,13 @@ from .orgaextractor import (
     get_orgaextractor_data, get_orgaextractor_dataset, get_orgaextractor_loader,
     get_orgaextractor_paths,
 )
+from .aisegcell import (
+    get_aisegcell_data, get_aisegcell_dataset, get_aisegcell_loader, get_aisegcell_paths,
+)
+from .bbbc034 import (
+    get_bbbc034_data, get_bbbc034_dataset, get_bbbc034_loader, get_bbbc034_paths,
+)
+from .nis3d import get_nis3d_data, get_nis3d_dataset, get_nis3d_loader, get_nis3d_paths
+from .wing_disc import (
+    get_wing_disc_data, get_wing_disc_dataset, get_wing_disc_loader, get_wing_disc_paths,
+)
