@@ -88,3 +88,7 @@ from .osic_pulmofib import (
 )
 from .chaos import get_chaos_data, get_chaos_dataset, get_chaos_loader, get_chaos_paths
 from .btcv import get_btcv_data, get_btcv_dataset, get_btcv_loader, get_btcv_paths
+from .kits import get_kits_data, get_kits_dataset, get_kits_loader, get_kits_paths
+from .panorama import (
+    get_panorama_data, get_panorama_dataset, get_panorama_loader, get_panorama_paths,
+)
