@@ -18,3 +18,9 @@ from .conic import get_conic_data, get_conic_dataset, get_conic_loader, get_coni
 from .glysac import get_glysac_data, get_glysac_dataset, get_glysac_loader, get_glysac_paths
 from .bcss import get_bcss_data, get_bcss_dataset, get_bcss_loader, get_bcsss_paths
 from .consep import get_consep_data, get_consep_dataset, get_consep_loader, get_consep_paths
+from .panoptils import (
+    get_panoptils_data, get_panoptils_dataset, get_panoptils_loader, get_panoptils_paths,
+)
+from .segpath import (
+    get_segpath_data, get_segpath_dataset, get_segpath_loader, get_segpath_paths,
+)
