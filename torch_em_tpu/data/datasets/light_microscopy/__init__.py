@@ -125,3 +125,12 @@ from .nis3d import get_nis3d_data, get_nis3d_dataset, get_nis3d_loader, get_nis3
 from .wing_disc import (
     get_wing_disc_data, get_wing_disc_dataset, get_wing_disc_loader, get_wing_disc_paths,
 )
+from .lsm_mouse_embryo import (
+    get_lsm_mouse_embryo_data, get_lsm_mouse_embryo_dataset, get_lsm_mouse_embryo_loader,
+    get_lsm_mouse_embryo_paths,
+)
+from .pnas_arabidopsis import (
+    get_pnas_arabidopsis_data, get_pnas_arabidopsis_dataset, get_pnas_arabidopsis_loader,
+    get_pnas_arabidopsis_paths,
+)
+from .phmamm import get_phmamm_data, get_phmamm_dataset, get_phmamm_loader, get_phmamm_paths
