@@ -134,3 +134,7 @@ from .pnas_arabidopsis import (
     get_pnas_arabidopsis_paths,
 )
 from .phmamm import get_phmamm_data, get_phmamm_dataset, get_phmamm_loader, get_phmamm_paths
+from .synthmt import (
+    get_synthmt_data, get_synthmt_dataset, get_synthmt_loader, get_synthmt_paths,
+)
+from .slimia import get_slimia_data, get_slimia_dataset, get_slimia_loader, get_slimia_paths
