@@ -138,3 +138,9 @@ from .synthmt import (
     get_synthmt_data, get_synthmt_dataset, get_synthmt_loader, get_synthmt_paths,
 )
 from .slimia import get_slimia_data, get_slimia_dataset, get_slimia_loader, get_slimia_paths
+from .morphoseg import (
+    get_morphoseg_data, get_morphoseg_dataset, get_morphoseg_loader, get_morphoseg_paths,
+)
+from .organoid import (
+    get_organoid_data, get_organoid_dataset, get_organoid_loader, get_organoid_paths,
+)
