@@ -57,3 +57,13 @@ from .wildenberg import (
 from .zebrafinch import (
     get_zebrafinch_data, get_zebrafinch_dataset, get_zebrafinch_loader, get_zebrafinch_paths,
 )
+from .hydra_vulgaris import (
+    get_hydra_data, get_hydra_dataset, get_hydra_loader, get_hydra_paths,
+)
+from .mousecc import (
+    get_mousecc_data, get_mousecc_dataset, get_mousecc_loader, get_mousecc_paths,
+)
+from .humanneurons import (
+    get_humanneurons_data, get_humanneurons_dataset, get_humanneurons_loader,
+    get_humanneurons_paths,
+)
