@@ -144,3 +144,9 @@ from .morphoseg import (
 from .organoid import (
     get_organoid_data, get_organoid_dataset, get_organoid_loader, get_organoid_paths,
 )
+from .yeastms import (
+    get_yeastms_data, get_yeastms_dataset, get_yeastms_loader, get_yeastms_paths,
+)
+from .nuc_morph import (
+    get_nuc_morph_data, get_nuc_morph_dataset, get_nuc_morph_loader, get_nuc_morph_paths,
+)
