@@ -150,3 +150,7 @@ from .yeastms import (
 from .nuc_morph import (
     get_nuc_morph_data, get_nuc_morph_dataset, get_nuc_morph_loader, get_nuc_morph_paths,
 )
+from .cellbindb import (
+    get_cellbindb_data, get_cellbindb_dataset, get_cellbindb_loader, get_cellbindb_paths,
+)
+from .cisd import get_cisd_data, get_cisd_dataset, get_cisd_loader, get_cisd_paths
