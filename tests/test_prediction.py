@@ -91,3 +91,38 @@ class TestPredictWithHalo:
         out_s = predict_with_halo(v, model, gpu_ids=["cpu"], block_shape=(8, 16, 16), halo=(2, 4, 4),
                                   grid_shift=(0, 0.25, 0), disable_tqdm=True)
         assert out_s.shape == (1, 16, 32, 32)
+
+    def test_batched_matches_unbatched(self, model2d):
+        x = np.random.rand(96, 96).astype("float32")
+        out1 = predict_with_halo(x, model2d, gpu_ids=["cpu"], block_shape=(32, 32),
+                                 halo=(8, 8), disable_tqdm=True)
+        out4 = predict_with_halo(x, model2d, gpu_ids=["cpu"], block_shape=(32, 32),
+                                 halo=(8, 8), disable_tqdm=True, batch_size=4)
+        assert np.allclose(out1, out4)
+
+    def test_device_resident_path(self, model2d):
+        """Device-resident volumes take the on-device block-scan path; it must
+        match the host path exactly on interior voxels (the border reflect-pad
+        convention differs, see _predict_with_halo_on_device)."""
+        import jax.numpy as jnp
+
+        # block-divisible volume: both pad conventions coincide -> exact match
+        x = np.random.rand(96, 96).astype("float32")
+        host = predict_with_halo(x, model2d, gpu_ids=["cpu"], block_shape=(32, 32),
+                                 halo=(8, 8), disable_tqdm=True)
+        dev = predict_with_halo(jnp.asarray(x), model2d, gpu_ids=["cpu"],
+                                block_shape=(32, 32), halo=(8, 8), disable_tqdm=True,
+                                batch_size=2)
+        dev = np.asarray(dev)
+        assert dev.shape == host.shape
+        assert np.allclose(host, dev, atol=1e-5)
+
+        # ragged volume: interior (a receptive field away from the border) matches
+        x = np.random.rand(96, 80).astype("float32")
+        host = predict_with_halo(x, model2d, gpu_ids=["cpu"], block_shape=(32, 32),
+                                 halo=(8, 8), disable_tqdm=True)
+        dev = np.asarray(predict_with_halo(jnp.asarray(x), model2d, gpu_ids=["cpu"],
+                                           block_shape=(32, 32), halo=(8, 8),
+                                           disable_tqdm=True, batch_size=2))
+        assert dev.shape == host.shape
+        assert np.allclose(host[:, 24:-24, 24:-24], dev[:, 24:-24, 24:-24], atol=1e-5)
