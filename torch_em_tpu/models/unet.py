@@ -112,23 +112,7 @@ def _instance_norm(x, eps=1e-5, stat_groups=None):
                 return instance_norm_pallas(x, eps=eps)
         except ImportError:
             pass
-    if stat_groups is not None:
-        g = stat_groups
-        rows = x.shape[0] // g
-        xg = x.reshape((g, rows) + x.shape[1:])
-        axes = tuple(range(1, xg.ndim - 1))
-        mean = jnp.mean(xg, axis=axes, keepdims=True, dtype=jnp.float32)
-        mean_sq = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=axes, keepdims=True)
-        var = mean_sq - jnp.square(mean)
-        scale = jax.lax.rsqrt(var + eps).astype(x.dtype)
-        out = (xg - mean.astype(x.dtype)) * scale
-        return out.reshape(x.shape)
-    axes = tuple(range(1, x.ndim - 1))
-    mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
-    mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes, keepdims=True)
-    var = mean_sq - jnp.square(mean)
-    scale = jax.lax.rsqrt(var + eps).astype(x.dtype)
-    return (x - mean.astype(x.dtype)) * scale
+    return _norm_core(x, 1, stat_groups, eps)
 
 
 class _NormLayer(nn.Module):
@@ -166,6 +150,41 @@ def _to_tuple(v, dim):
     return (v,) * dim if isinstance(v, int) else tuple(v)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _pool2_axis(x, axis):
+    """Pairwise max along ``axis`` (window 2, stride 2)."""
+    sl_a = [slice(None)] * x.ndim
+    sl_b = [slice(None)] * x.ndim
+    sl_a[axis] = slice(0, None, 2)
+    sl_b[axis] = slice(1, None, 2)
+    return jnp.maximum(x[tuple(sl_a)], x[tuple(sl_b)])
+
+
+def _pool2_axis_fwd(x, axis):
+    sl_a = [slice(None)] * x.ndim
+    sl_b = [slice(None)] * x.ndim
+    sl_a[axis] = slice(0, None, 2)
+    sl_b[axis] = slice(1, None, 2)
+    a = x[tuple(sl_a)]
+    b = x[tuple(sl_b)]
+    return jnp.maximum(a, b), (a >= b)
+
+
+def _pool2_axis_bwd(axis, mask, g):
+    # Route the full gradient to the left operand on ties (torch-style single
+    # winner). Interleave via stack+reshape: cheaper than the gather/
+    # scatter-add pair XLA picks for the VJP of strided slicing.
+    ga = jnp.where(mask, g, 0)
+    gb = g - ga
+    stacked = jnp.stack([ga, gb], axis=axis + 1)
+    shape = list(g.shape)
+    shape[axis] *= 2
+    return (stacked.reshape(shape),)
+
+
+_pool2_axis.defvjp(_pool2_axis_fwd, _pool2_axis_bwd)
+
+
 def _max_pool_reshape(x, window):
     """Max pooling with window == strides via repeated pairwise maxima.
 
@@ -173,97 +192,279 @@ def _max_pool_reshape(x, window):
     Strided-slice pairwise maxima profile ~6ms/step faster than the previous
     reshape+reduce_max formulation on the CREMI UNet3d step: the reshape
     variant materializes 6-D intermediates in its VJP (eq/broadcast/
-    reduce_sum at awkward layouts), while pairwise maxima differentiate into
-    cheap select+pad chains. Non-power-of-2 windows fall back to nn.max_pool.
-    x: (N, *spatial, C).
+    reduce_sum at awkward layouts). The custom VJP routes gradients with a
+    select + interleave instead of the gather/scatter-add pair XLA picks for
+    strided-slice VJPs. Ties send the gradient to the first (left) element,
+    like torch's max-pool argmax. Non-power-of-2 windows fall back to
+    nn.max_pool. x: (N, *spatial, C).
     """
     if any(w & (w - 1) for w in window):
         return nn.max_pool(x, window_shape=tuple(window), strides=tuple(window))
     for axis, w in enumerate(window, start=1):
         while w > 1:
-            sl_a = [slice(None)] * x.ndim
-            sl_b = [slice(None)] * x.ndim
-            sl_a[axis] = slice(0, None, 2)
-            sl_b[axis] = slice(1, None, 2)
-            x = jnp.maximum(x[tuple(sl_a)], x[tuple(sl_b)])
+            x = _pool2_axis(x, axis)
             w //= 2
     return x
 
 
-# Width-packing (1x4 pixels -> channels) for small-channel convs. Module-level
+# Width-packing (1xP pixels -> channels) for small-channel convs. Module-level
 # switch so benchmarks can measure nominal model FLOPs (cost_analysis counts
-# the packed lowering's 4x FLOPs otherwise) and for debugging.
+# the packed lowering's Px FLOPs otherwise) and for debugging.
 W4_PACKING = True
 
 
-def _expand_kernel_w4(w):
+def _expand_kernel_wp(w, p):
     """Expand a 3x3 conv kernel (3, 3, Ci, Co) to the exactly-equivalent
-    block-space kernel (3, 3, 4*Ci, 4*Co) operating on width-packed tensors
-    (4 adjacent pixels along W folded into channels, index ``dj*Ci + ci``).
+    block-space kernel (3, 3, p*Ci, p*Co) operating on width-packed tensors
+    (p adjacent pixels along W folded into channels, index ``dj*Ci + ci``).
     For output within-block position oj and tap kx, the input pixel lands in
     width-block offset bj at within-block position dj with
-    ``4*bj + dj = oj + kx - 1`` (same padding=1)."""
+    ``p*bj + dj = oj + kx - 1`` (same padding=1)."""
     kh, kw, ci, co = w.shape
-    wp = jnp.zeros((kh, 3, 4, ci, 4, co), w.dtype)
-    for oj in range(4):
+    wp = jnp.zeros((kh, 3, p, ci, p, co), w.dtype)
+    for oj in range(p):
         for kx in range(kw):
-            bj, dj = divmod(oj + kx - 1, 4)
+            bj, dj = divmod(oj + kx - 1, p)
             wp = wp.at[:, bj + 1, dj, :, oj, :].set(w[:, kx])
-    return wp.reshape(kh, 3, 4 * ci, 4 * co)
+    return wp.reshape(kh, 3, p * ci, p * co)
 
 
-def _instance_norm_packed(x, c, eps=1e-5, stat_groups=None):
-    """Instance norm on a width-packed (B, H, W/4, 4C) tensor (packed channel
-    index = dj*C + c): per-channel statistics are the equal-weight average of
-    the four within-block positions' statistics — exact, no unpacking."""
-    g = stat_groups if stat_groups is not None else x.shape[0]
-    rows = x.shape[0] // g
-    xg = x.reshape((g, rows) + x.shape[1:])
-    axes = (1, 2, 3)
-    mean4 = jnp.mean(xg, axis=axes, dtype=jnp.float32)                  # (g, 4C)
-    mean_sq4 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=axes)  # (g, 4C)
-    mean = jnp.mean(mean4.reshape(g, 4, c), axis=1)                     # (g, C)
-    mean_sq = jnp.mean(mean_sq4.reshape(g, 4, c), axis=1)
+def _pc_stats(xg, p, c, eps):
+    """Per-(group, channel) mean and rsqrt-scale of (g, rows, *spatial, p*C)
+    data, folding the p packed positions into their channel."""
+    g = xg.shape[0]
+    axes = tuple(range(1, xg.ndim - 1))
+    meanp = jnp.mean(xg, axis=axes, dtype=jnp.float32)                  # (g, pC)
+    mean_sqp = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=axes)  # (g, pC)
+    mean = jnp.mean(meanp.reshape(g, p, c), axis=1)                     # (g, C)
+    mean_sq = jnp.mean(mean_sqp.reshape(g, p, c), axis=1)
     scale = jax.lax.rsqrt(mean_sq - mean * mean + eps)
-    bshape = (g, 1, 1, 1, 4 * c)
-    mean_p = jnp.tile(mean, (1, 4)).reshape(bshape).astype(x.dtype)
-    scale_p = jnp.tile(scale, (1, 4)).reshape(bshape).astype(x.dtype)
-    return ((xg - mean_p) * scale_p).reshape(x.shape)
+    return mean, scale
 
 
-def _conv2d_w4(x, kernel):
-    """3x3/pad-1 2D conv computed in a width-packed (1x4 -> channels)
+def _pc_broadcast(v, p, xg_ndim):
+    """(g, C) per-channel value -> (g, 1, ..., 1, p*C) broadcastable."""
+    g = v.shape[0]
+    shape = (g,) + (1,) * (xg_ndim - 2) + (p * v.shape[1],)
+    return jnp.tile(v, (1, p)).reshape(shape)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _norm_core(x, p, stat_groups, eps):
+    """Parameter-free instance norm with packed-position folding.
+
+    x: (B, *spatial, p*C) with packed channel index dj*C + c (p=1 = plain
+    channels-last). Statistics are per (group, channel) where the batch rows
+    are split into ``stat_groups`` groups (None = per-sample stats).
+
+    Custom VJP: the analytic dx = s*(g - mean_c(g) - y*mean_c(g*y)) runs as
+    two fused reduction sweeps instead of the tile/concatenate chains XLA
+    derives from the forward (~4ms/step on the CREMI UNet3d benchmark).
+    """
+    g = stat_groups if stat_groups is not None else x.shape[0]
+    c = x.shape[-1] // p
+    xg = x.reshape((g, x.shape[0] // g) + x.shape[1:])
+    mean, scale = _pc_stats(xg, p, c, eps)
+    y = (xg - _pc_broadcast(mean, p, xg.ndim).astype(x.dtype)) \
+        * _pc_broadcast(scale, p, xg.ndim).astype(x.dtype)
+    return y.reshape(x.shape)
+
+
+def _norm_core_fwd(x, p, stat_groups, eps):
+    g = stat_groups if stat_groups is not None else x.shape[0]
+    c = x.shape[-1] // p
+    xg = x.reshape((g, x.shape[0] // g) + x.shape[1:])
+    mean, scale = _pc_stats(xg, p, c, eps)
+    y = (xg - _pc_broadcast(mean, p, xg.ndim).astype(x.dtype)) \
+        * _pc_broadcast(scale, p, xg.ndim).astype(x.dtype)
+    return y.reshape(x.shape), (y, scale)
+
+
+def _norm_core_bwd(p, stat_groups, eps, res, gr):
+    yf, scale = res
+    g = scale.shape[0]
+    c = scale.shape[1]
+    yg = yf.reshape((g, yf.shape[0] // g) + yf.shape[1:])
+    grg = gr.reshape(yg.shape)
+    axes = tuple(range(1, yg.ndim - 1))
+    n = np.prod([yg.shape[a] for a in axes]) * p
+    # per-channel means of g and g*y (fold packed positions)
+    s1 = jnp.sum(grg, axis=axes, dtype=jnp.float32).reshape(g, p, c).sum(axis=1)
+    s2 = jnp.sum((grg * yg).astype(jnp.float32), axis=axes,
+                 dtype=jnp.float32).reshape(g, p, c).sum(axis=1)
+    m1 = _pc_broadcast(s1 / n, p, yg.ndim).astype(gr.dtype)
+    m2 = _pc_broadcast(s2 / n, p, yg.ndim).astype(gr.dtype)
+    sc = _pc_broadcast(scale, p, yg.ndim).astype(gr.dtype)
+    dx = sc * (grg - m1 - yg * m2)
+    return (dx.reshape(gr.shape),)
+
+
+_norm_core.defvjp(_norm_core_fwd, _norm_core_bwd)
+
+
+def _instance_norm_packed(x, p, eps=1e-5, stat_groups=None):
+    """Instance norm on a width-packed (B, H, W/p, p*C) tensor (packed channel
+    index = dj*C + c): per-channel statistics are the equal-weight average of
+    the p within-block positions' statistics — exact, no unpacking."""
+    return _norm_core(x, p, stat_groups, eps)
+
+
+def _conv2d_wp(x, kernel, p):
+    """3x3/pad-1 2D conv computed in a width-packed (1xP -> channels)
     representation.
 
     TPU-native lowering for small channel counts: a stride-1 3x3 conv with
-    C <= 64 channels leaves most of the 128-wide MXU lanes idle (profiled at
-    ~3-8% MXU on v5e). Folding 4 adjacent W-pixels into channels widens the
-    contraction and output to 4C at 4x the nominal FLOPs — a net win because
-    MXU utilization improves far more. W and C are adjacent memory dims in
-    NHWC, so the packing is a pure reshape (no transpose/copy, unlike 2x2
-    space-to-depth). Exact (see _expand_kernel_w4) and differentiates
-    through; the VJP is the same trick on the transposed convs.
+    Co < 128 output channels leaves most of the 128-wide MXU output lanes
+    idle (profiled at ~3-8% MXU on v5e for Co=32). Folding p = 128/Co
+    adjacent W-pixels into channels widens the output to p*Co = 128 lanes at
+    p-times the nominal conv FLOPs — a net win because MXU utilization
+    improves by the same factor while the tensors get 128-lane layouts
+    (folding further would add FLOPs with no utilization gain, hence p is
+    capped by Co). W and C are adjacent memory dims in NHWC, so the packing
+    is a pure reshape (no transpose/copy, unlike 2x2 space-to-depth). Exact
+    (see _expand_kernel_wp) and differentiates through; the VJP is the same
+    trick on the transposed convs.
     """
     b, h, w, c = x.shape
     c_out = kernel.shape[-1]
     y = jax.lax.conv_general_dilated(
-        x.reshape(b, h, w // 4, 4 * c), _expand_kernel_w4(kernel), (1, 1), [(1, 1), (1, 1)],
+        x.reshape(b, h, w // p, p * c), _expand_kernel_wp(kernel, p), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=x.dtype,
     )
     return y.reshape(b, h, w, c_out)
 
 
+def _pack_factor(c_out):
+    """Pixels-per-block for width packing: fill the 128 MXU output lanes."""
+    return int(np.clip(128 // max(int(c_out), 1), 1, 4))
+
+
+def _unpack_w(x, p):
+    """(B, H, W/p, p*C) width-packed -> (B, H, W, C)."""
+    if p == 1:
+        return x
+    b, h, wb, pc = x.shape
+    return x.reshape(b, h, wb * p, pc // p)
+
+
+def _repack_w(x, p_from, p_to):
+    """Change the width-pack factor; a pure reshape (the packed flat order
+    (W/p, p, C) is pixel-major for every p)."""
+    if p_from == p_to:
+        return x
+    b, h, wb, pc = x.shape
+    c = pc // p_from
+    w = wb * p_from
+    return x.reshape(b, h, w // p_to, p_to * c)
+
+
+def _pool2_w_packed(x, p):
+    """Pairwise max over W of a width-packed (B, H, W/p, p*C) tensor without
+    unpacking: adjacent pixels live in adjacent channel slices (within a
+    block) or in the neighboring block, so the pool is static channel-slice
+    maxima — minor-dim work instead of a W-interleave."""
+    c = x.shape[-1] // p
+    even, odd = x[:, :, 0::2, :], x[:, :, 1::2, :]
+    outs = []
+    for t in (even, odd):
+        for d in range(p // 2):
+            outs.append(jnp.maximum(t[..., (2 * d) * c:(2 * d + 1) * c],
+                                    t[..., (2 * d + 1) * c:(2 * d + 2) * c]))
+    return jnp.concatenate(outs, axis=-1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _pool2x2_packed(x, p):
+    """2x2 max pool (H and W) of a width-packed (B, H, W/p, p*C) tensor.
+
+    The hand-written VJP routes gradients with channel-slice selects and
+    block-granularity interleaves (stack+reshape over 256-byte rows); the
+    AD-derived pool backward lowers to scatter-add / while chains that cost
+    ~4ms/step on the CREMI UNet3d benchmark. Ties route to the first element,
+    like torch's max-pool argmax."""
+    return _pool2_w_packed(_pool2_axis(x, 1), p)
+
+
+def _pool2x2_packed_fwd(x, p):
+    a, b = x[:, 0::2], x[:, 1::2]
+    mh = a >= b
+    y1 = jnp.maximum(a, b)
+    c = x.shape[-1] // p
+    even, odd = y1[:, :, 0::2, :], y1[:, :, 1::2, :]
+    outs, mws = [], []
+    for t in (even, odd):
+        for d in range(p // 2):
+            u = t[..., (2 * d) * c:(2 * d + 1) * c]
+            v = t[..., (2 * d + 1) * c:(2 * d + 2) * c]
+            mws.append(u >= v)
+            outs.append(jnp.maximum(u, v))
+    y = jnp.concatenate(outs, axis=-1)
+    mw = jnp.concatenate(mws, axis=-1)
+    return y, (mh, mw)
+
+
+def _pool2x2_packed_bwd(p, res, g):
+    mh, mw = res
+    c = g.shape[-1] // p
+    half = p // 2
+    # W stage: rebuild the gradient w.r.t. the H-pooled tensor
+    halves = []
+    for bi in range(2):  # even / odd W-blocks
+        lanes = []
+        for d in range(half):
+            sl = slice((bi * half + d) * c, (bi * half + d + 1) * c)
+            gu = jnp.where(mw[..., sl], g[..., sl], 0)
+            lanes += [gu, g[..., sl] - gu]
+        halves.append(jnp.concatenate(lanes, axis=-1))
+    dy1 = jnp.stack(halves, axis=3).reshape(mh.shape)
+    # H stage: row-granularity interleave
+    ga = jnp.where(mh, dy1, 0)
+    gb = dy1 - ga
+    shape = list(mh.shape)
+    shape[1] *= 2
+    return (jnp.stack([ga, gb], axis=2).reshape(shape),)
+
+
+_pool2x2_packed.defvjp(_pool2x2_packed_fwd, _pool2x2_packed_bwd)
+
+
+def _max_pool_2d(x, window, p):
+    """Max pool a (possibly width-packed) 4D tensor. Returns (pooled, pack)."""
+    wh, ww = window
+    if p > 1:
+        ok = (not (wh & (wh - 1)) and not (ww & (ww - 1))
+              and x.shape[1] % wh == 0 and x.shape[2] % ww == 0)
+        if ok:
+            if (wh, ww) == (2, 2):
+                return _pool2x2_packed(x, p), p
+            while wh > 1:
+                x = _pool2_axis(x, 1)
+                wh //= 2
+            while ww > 1:
+                x = _pool2_w_packed(x, p)
+                ww //= 2
+            return x, p
+        x = _unpack_w(x, p)
+    if all(s % w == 0 for s, w in zip(x.shape[1:-1], window)):
+        return _max_pool_reshape(x, window), 1
+    return nn.max_pool(x, window_shape=tuple(window), strides=tuple(window)), 1
+
+
 def _use_s2d(x, kernel, padding):
-    """Width-packing pays off for 3x3/pad-1 convs with few channels on the
-    full-res U-Net levels (W divisible by 4 and large enough to matter)."""
-    return (
+    """Width-packing pays off for 3x3/pad-1 convs with few output channels on
+    the full-res U-Net levels (W divisible by the pack factor and large
+    enough to matter). Returns the pack factor p (1 = no packing)."""
+    p = _pack_factor(kernel.shape[3])
+    if (
         W4_PACKING
+        and p > 1
         and kernel.shape[:2] == (3, 3)
-        and max(kernel.shape[2], kernel.shape[3]) <= 64
         and tuple(padding[-2]) == (1, 1) and tuple(padding[-1]) == (1, 1)
-        and x.shape[-2] % 4 == 0
+        and x.shape[-2] % p == 0
         and x.shape[-3] >= 64 and x.shape[-2] >= 64
-    )
+    ):
+        return p
+    return 1
 
 
 def _conv3d_decomposed(x, kernel, padding):
@@ -285,8 +486,8 @@ def _conv3d_decomposed(x, kernel, padding):
     s2d = _use_s2d(x, kernel[0], padding[1:])
     for i in range(kd):
         xi = x[:, i:i + d_out].reshape(n * d_out, h, w, c)
-        if s2d:
-            oi = _conv2d_w4(xi, kernel[i])
+        if s2d > 1:
+            oi = _conv2d_wp(xi, kernel[i], s2d)
         else:
             oi = jax.lax.conv_general_dilated(
                 xi, kernel[i], (1, 1), list(padding[1:]),
@@ -299,39 +500,55 @@ def _conv3d_decomposed(x, kernel, padding):
 
 class _Conv2dFast(nn.Module):
     """2D conv layer that routes small-channel 3x3 convs through the
-    width-packed lowering (see _conv2d_w4). Parameter layout matches
+    width-packed lowering (see _conv2d_wp). Parameter layout matches
     ``nn.Conv`` ((kh, kw, I, O) kernel + (O,) bias) so checkpoints are
-    interchangeable with the nn.Conv version."""
+    interchangeable with the nn.Conv version.
+
+    ``x`` may be a tuple of tensors, interpreted as a channel-concatenation
+    that is never materialized: the kernel is sliced along its input axis and
+    the per-part convolutions are summed (conv is linear in channels, so this
+    is exact). Used by the decoder to avoid concat copies."""
 
     features: int
     kernel_size: Tuple[int, int]
     padding: Any
-    packed: bool = False  # expects/produces width-packed (B, H, W/4, 4C) tensors
+    pack: int = 1  # >1: expects/produces width-packed (B, H, W/p, p*C) tensors
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        in_features = x.shape[-1] // 4 if self.packed else x.shape[-1]
+        parts = x if isinstance(x, (tuple, list)) else (x,)
+        div = self.pack
+        in_features = sum(p.shape[-1] // div for p in parts)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(batch_axis=(), in_axis=-2, out_axis=-1),
             tuple(self.kernel_size) + (in_features, self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        if self.packed:
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), _expand_kernel_w4(kernel.astype(self.dtype)),
-                (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=self.dtype,
-            )
-            return y + jnp.tile(bias, 4).astype(self.dtype)
-        if _use_s2d(x, kernel, self.padding):
-            y = _conv2d_w4(x.astype(self.dtype), kernel.astype(self.dtype))
-        else:
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), kernel.astype(self.dtype), (1, 1), list(self.padding),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=self.dtype,
-            )
-        return y + bias.astype(self.dtype)
+        y = None
+        c0 = 0
+        for p in parts:
+            cin = p.shape[-1] // div
+            k = kernel[..., c0:c0 + cin, :].astype(self.dtype)
+            c0 += cin
+            if self.pack > 1:
+                yi = jax.lax.conv_general_dilated(
+                    p.astype(self.dtype), _expand_kernel_wp(k, self.pack),
+                    (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=self.dtype,
+                )
+            elif (pk := _use_s2d(p, k, self.padding)) > 1:
+                yi = _conv2d_wp(p.astype(self.dtype), k, pk)
+            else:
+                yi = jax.lax.conv_general_dilated(
+                    p.astype(self.dtype), k, (1, 1), list(self.padding),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=self.dtype,
+                )
+            y = yi if y is None else y + yi
+        b = jnp.tile(bias, self.pack) if self.pack > 1 else bias
+        return y + b.astype(self.dtype)
 
 
 class _Conv3dFast(nn.Module):
@@ -345,37 +562,48 @@ class _Conv3dFast(nn.Module):
     features: int
     kernel_size: Tuple[int, int, int]
     padding: Any
-    packed: bool = False  # 2.5D mode: width-packed (B, H, W/4, 4C) in/out
+    pack: int = 1  # 2.5D mode: width-packed (B, H, W/p, p*C) in/out
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        in_features = x.shape[-1] // 4 if self.packed else x.shape[-1]
+        parts = x if isinstance(x, (tuple, list)) else (x,)
+        div = self.pack
+        in_features = sum(p.shape[-1] // div for p in parts)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(batch_axis=(), in_axis=-2, out_axis=-1),
             self.kernel_size + (in_features, self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        if self.packed:
-            assert x.ndim == 4 and self.kernel_size[0] == 1
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), _expand_kernel_w4(kernel[0].astype(self.dtype)),
-                (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=self.dtype,
-            )
-            return y + jnp.tile(bias, 4).astype(self.dtype)
-        if x.ndim == 4:
-            assert self.kernel_size[0] == 1, "2.5D mode requires depth-1 kernels."
-            if _use_s2d(x, kernel[0], self.padding[1:]):
-                y = _conv2d_w4(x.astype(self.dtype), kernel[0].astype(self.dtype))
-            else:
-                y = jax.lax.conv_general_dilated(
-                    x.astype(self.dtype), kernel[0].astype(self.dtype), (1, 1), list(self.padding[1:]),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=self.dtype,
+        y = None
+        c0 = 0
+        for p in parts:
+            cin = p.shape[-1] // div
+            k = kernel[..., c0:c0 + cin, :].astype(self.dtype)
+            c0 += cin
+            if self.pack > 1:
+                assert p.ndim == 4 and self.kernel_size[0] == 1
+                yi = jax.lax.conv_general_dilated(
+                    p.astype(self.dtype), _expand_kernel_wp(k[0], self.pack),
+                    (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=self.dtype,
                 )
-        else:
-            y = _conv3d_decomposed(x.astype(self.dtype), kernel.astype(self.dtype), self.padding)
-        return y + bias.astype(self.dtype)
+            elif p.ndim == 4:
+                assert self.kernel_size[0] == 1, "2.5D mode requires depth-1 kernels."
+                if (pk := _use_s2d(p, k[0], self.padding[1:])) > 1:
+                    yi = _conv2d_wp(p.astype(self.dtype), k[0], pk)
+                else:
+                    yi = jax.lax.conv_general_dilated(
+                        p.astype(self.dtype), k[0], (1, 1), list(self.padding[1:]),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=self.dtype,
+                    )
+            else:
+                yi = _conv3d_decomposed(p.astype(self.dtype), k, self.padding)
+            y = yi if y is None else y + yi
+        b = jnp.tile(bias, self.pack) if self.pack > 1 else bias
+        return y + b.astype(self.dtype)
 
 
 def _conv_padding(kernel_size, padding, dim):
@@ -400,59 +628,96 @@ class ConvBlock(nn.Module):
     stat_groups: Optional[int] = None  # 2.5D mode: norm-stat groups
     dtype: Any = jnp.float32
 
-    def _packed_ok(self, x, ks, pad):
+    def _packed_ok(self, parts, packs, ks, pad):
         """Whole-block width-packed execution: both convs run in the packed
-        (B, H, W/4, 4C) representation and the pack/unpack reshapes happen
+        (B, H, W/p, p*C) representation and the pack/unpack reshapes happen
         once per block instead of once per conv. Requires 3x3/pad-1 spatial
-        kernels, small channel counts and an InstanceNorm/no-norm block."""
-        if not (W4_PACKING and self.fast_conv and x.ndim == 4):
-            return False
+        kernels, few output channels and an InstanceNorm/no-norm block.
+        Returns the pack factor (1 = unpacked execution)."""
+        pk = _pack_factor(self.out_channels) if W4_PACKING else 1
+        if pk == 1:
+            return 1
+        if not (self.fast_conv and all(p.ndim == 4 for p in parts)):
+            return 1
         if self.norm not in (None, "InstanceNorm"):
-            return False
+            return 1
         if tuple(ks[-2:]) != (3, 3) or tuple(pad[-1]) != (1, 1) or tuple(pad[-2]) != (1, 1):
-            return False
+            return 1
         if self.dim == 3 and ks[0] != 1:
-            return False
-        if max(x.shape[-1], self.out_channels) > 64:
-            return False
-        return x.shape[-2] % 4 == 0 and x.shape[-3] >= 64 and x.shape[-2] >= 64
+            return 1
+        x = parts[0]
+        w_unpacked = x.shape[-2] * packs[0]
+        if w_unpacked % pk == 0 and x.shape[-3] >= 64 and w_unpacked >= 64:
+            return pk
+        return 1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, in_pack=None, keep_packed: bool = False):
+        """``x`` may be a tuple of tensors = a virtual channel concatenation
+        (decoder skip connections). Per-channel norms and channel-sliced convs
+        make the split exact while never materializing the concat; for
+        parameterized norms or the nn.Conv fallback the parts are simply
+        concatenated.
+
+        ``in_pack`` gives the width-pack factor of each input part (see
+        ``_pack_factor``; None = unpacked); repacking between factors is a
+        free reshape. With ``keep_packed`` the block returns ``(out, pack)``
+        and leaves the output in its packed representation so pools/skips can
+        consume it without a round-trip through (B, H, W, C)."""
         ks, pad = _conv_padding(self.kernel_size, self.padding, self.dim)
         use_fast = self.fast_conv and self.dim == 3
-        packed = self._packed_ok(x, ks, pad)
-        if packed:
-            b, h, w, c_in = x.shape
-            x = x.reshape(b, h, w // 4, 4 * c_in)
+        parts = x if isinstance(x, (tuple, list)) else (x,)
+        packs = tuple(in_pack) if in_pack is not None else (1,) * len(parts)
+        if len(parts) > 1 and (
+            self.norm not in (None, "InstanceNorm") or not self.fast_conv
+        ):
+            parts = tuple(_unpack_w(p, q) for p, q in zip(parts, packs))
+            parts = (jnp.concatenate(parts, axis=-1),)
+            packs = (1,)
+        pk = self._packed_ok(parts, packs, ks, pad)
+        if pk > 1:
+            parts = tuple(_repack_w(p, q, pk) for p, q in zip(parts, packs))
+        else:
+            parts = tuple(_unpack_w(p, q) for p, q in zip(parts, packs))
+        x = None
         for i in range(2):
-            if packed:
+            if i == 1:
+                parts = (x,)
+            if pk > 1:
                 if self.norm == "InstanceNorm":
-                    x = _instance_norm_packed(x, x.shape[-1] // 4,
-                                              stat_groups=self.stat_groups)
-                if self.dim == 3:
-                    x = _Conv3dFast(self.out_channels, tuple(ks), pad, packed=True,
-                                    dtype=self.dtype, name=f"conv{i}")(x)
-                else:
-                    x = _Conv2dFast(self.out_channels, tuple(ks), pad, packed=True,
-                                    dtype=self.dtype, name=f"conv{i}")(x)
+                    parts = tuple(
+                        _instance_norm_packed(p, pk, stat_groups=self.stat_groups)
+                        for p in parts
+                    )
+                conv_cls = _Conv3dFast if self.dim == 3 else _Conv2dFast
+                x = conv_cls(self.out_channels, tuple(ks), pad, pack=pk,
+                             dtype=self.dtype, name=f"conv{i}")(parts)
                 x = nn.relu(x)
                 continue
-            x = _NormLayer(self.norm, stat_groups=self.stat_groups, dtype=self.dtype,
-                           name=f"norm{i}")(x, train=train)
+            if self.norm == "InstanceNorm":
+                # parameter-free: apply per part (per-channel stats make the
+                # split exact)
+                parts = tuple(
+                    _instance_norm(p, stat_groups=self.stat_groups) for p in parts
+                )
+            elif self.norm is not None:
+                parts = (_NormLayer(self.norm, stat_groups=self.stat_groups,
+                                    dtype=self.dtype, name=f"norm{i}")(
+                    parts[0], train=train),)
             if use_fast:
                 x = _Conv3dFast(self.out_channels, tuple(ks), pad, dtype=self.dtype,
-                                name=f"conv{i}")(x)
+                                name=f"conv{i}")(parts)
             elif self.fast_conv and self.dim == 2:
                 x = _Conv2dFast(self.out_channels, tuple(ks), pad, dtype=self.dtype,
-                                name=f"conv{i}")(x)
+                                name=f"conv{i}")(parts)
             else:
                 x = nn.Conv(self.out_channels, ks, padding=pad, dtype=self.dtype,
-                            name=f"conv{i}")(x)
+                            name=f"conv{i}")(parts[0])
             x = nn.relu(x)
-        if packed:
-            b, h, w4, _ = x.shape
-            x = x.reshape(b, h, w4 * 4, self.out_channels)
+        if keep_packed:
+            return x, pk
+        if pk > 1:
+            x = _unpack_w(x, pk)
         return x
 
 
@@ -525,10 +790,14 @@ class Upsampler(nn.Module):
             dropped = factor[: self.dim - spatial_ndim]
             assert all(f == 1 for f in dropped), "2.5D mode requires unit depth scaling."
             factor = factor[self.dim - spatial_ndim:]
-        x = _upsample(x, factor, self.mode)
         # pointwise conv as a Dense over the channel axis: rep-independent
-        # parameters (I, O) and a pure matmul on the MXU
+        # parameters (I, O) and a pure matmul on the MXU. The conv runs BEFORE
+        # the interpolation: linear interpolation commutes with the channel
+        # mixing (and preserves the constant bias), so the result is identical
+        # while the matmul touches prod(factor)-times fewer pixels and the
+        # interpolation runs on out_channels instead of in_channels.
         x = nn.Dense(self.out_channels, dtype=self.dtype, name="conv")(x)
+        x = _upsample(x, factor, self.mode)
         return x
 
 
@@ -624,33 +893,40 @@ class UNetModule(nn.Module):
         def to3d(arr, d):  # (N*D, *rest) -> (N, D, *rest)
             return arr.reshape((arr.shape[0] // d, d) + arr.shape[1:])
 
-        def set_rep(arr, rep2d, want2d, d):
+        def set_rep(arr, rep2d, want2d, d, pack):
             if want2d and not rep2d:
-                return to2d(arr), True
+                return to2d(arr), True, pack
             if not want2d and rep2d:
-                return to3d(arr, d), False
-            return arr, rep2d
+                return to3d(_unpack_w(arr, pack), d), False, 1
+            return arr, rep2d, pack
 
-        def conv_block(name, f, sf, arr, rep2d):
+        def conv_block(name, f, sf, arr, rep2d, in_pack):
+            # 4D representations (2D model or 2.5D mode) flow width-packed
+            # between blocks, pools and skips; 5D levels stay unpacked
             kw = block_kwargs(sf)
-            return ConvBlock(
+            keep = self.dim == 2 or rep2d
+            out = ConvBlock(
                 f, dim=self.dim, name=name,
                 stat_groups=n_batch if rep2d else None, **kw,
-            )(arr, train=train)
+            )(arr, train=train, in_pack=in_pack, keep_packed=keep)
+            return out if keep else (out, 1)
 
         cur_d = x.shape[2] if self.dim == 3 else None
         rep2d = False
+        h_pack = 1
 
         # encoder
         skips = []
         for level, (f, sf) in enumerate(zip(feats, self.scale_factors)):
             want2d = level_is_2d(sf)
-            h, rep2d = set_rep(h, rep2d, want2d, cur_d)
-            h = conv_block(f"encoder{level}", f, sf, h, rep2d)
-            skips.append((h, rep2d, cur_d))
+            h, rep2d, h_pack = set_rep(h, rep2d, want2d, cur_d, h_pack)
+            h, h_pack = conv_block(f"encoder{level}", f, sf, h, rep2d, (h_pack,))
+            skips.append((h, rep2d, cur_d, h_pack))
             window = _to_tuple(sf, self.dim)
-            pool_window = window[1:] if rep2d else window
-            if all(s % w == 0 for s, w in zip(h.shape[1:-1], pool_window)):
+            pool_window = window[1:] if h.ndim == 4 and self.dim == 3 else window
+            if h.ndim == 4:
+                h, h_pack = _max_pool_2d(h, pool_window, h_pack)
+            elif all(s % w == 0 for s, w in zip(h.shape[1:-1], pool_window)):
                 h = _max_pool_reshape(h, pool_window)
             else:
                 h = nn.max_pool(h, window_shape=pool_window, strides=pool_window)
@@ -660,41 +936,54 @@ class UNetModule(nn.Module):
         # base
         base_sf = self.scale_factors[-1]
         want2d = level_is_2d(base_sf)
-        h, rep2d = set_rep(h, rep2d, want2d, cur_d)
-        h = conv_block("base", feats[-1] * self.gain, base_sf, h, rep2d)
+        h, rep2d, h_pack = set_rep(h, rep2d, want2d, cur_d, h_pack)
+        h, h_pack = conv_block("base", feats[-1] * self.gain, base_sf, h, rep2d, (h_pack,))
 
         # decoder (mirror features, upsample + concat-crop + block)
         decoder_feats = feats[::-1]
         decoder_sfs = list(self.scale_factors)[::-1]
         side_outputs = []
         for level, (f, sf, skip_entry) in enumerate(zip(decoder_feats, decoder_sfs, skips[::-1])):
-            skip, skip_rep2d, skip_d = skip_entry
+            skip, skip_rep2d, skip_d, skip_pack = skip_entry
             window = _to_tuple(sf, self.dim)
             if skip_rep2d:
                 # depth unchanged across this level (sf[0] == 1): upsample in 2D
-                h, rep2d = set_rep(h, rep2d, True, cur_d)
+                h, rep2d, h_pack = set_rep(h, rep2d, True, cur_d, h_pack)
             else:
-                h, rep2d = set_rep(h, rep2d, False, cur_d)
+                h, rep2d, h_pack = set_rep(h, rep2d, False, cur_d, h_pack)
+            if h.ndim == 4:
+                h = _unpack_w(h, h_pack)
+                h_pack = 1
             h = Upsampler(f, scale_factor=sf, dim=self.dim, mode="linear",
                           dtype=self.dtype, name=f"sampler{level}")(h, train=train)
             if not rep2d and self.dim == 3:
                 cur_d = cur_d * window[0]
-            # center-crop the skip if needed (no-op with SAME padding)
-            if skip.shape[1:-1] != h.shape[1:-1]:
+            # center-crop the skip if needed (no-op with SAME padding);
+            # compare/crop in the unpacked representation
+            skip_spatial = list(skip.shape[1:-1])
+            if skip.ndim == 4:
+                skip_spatial[-1] *= skip_pack
+            if tuple(skip_spatial) != h.shape[1:-1]:
+                skip = _unpack_w(skip, skip_pack) if skip.ndim == 4 else skip
+                skip_pack = 1
                 diff = [(ssh - hsh) // 2 for ssh, hsh in zip(skip.shape[1:-1], h.shape[1:-1])]
                 crop = (slice(None),) + tuple(
                     slice(dd, dd + hsh) for dd, hsh in zip(diff, h.shape[1:-1])
                 ) + (slice(None),)
                 skip = skip[crop]
-            h = jnp.concatenate([h, skip], axis=-1)
-            h = conv_block(f"decoder{level}", f, sf, h, rep2d)
-            side_outputs.append((h, rep2d, cur_d))
+            # virtual concat: ConvBlock slices its kernel across the parts
+            # instead of materializing the channel concatenation
+            h, h_pack = conv_block(
+                f"decoder{level}", f, sf, (h, skip), rep2d, (h_pack, skip_pack))
+            side_outputs.append((h, rep2d, cur_d, h_pack))
 
         activation = get_activation(self.final_activation)
         postprocessing = _get_postprocessing(self.postprocessing)
 
         def finalize(out_entry, out_channels, conv_name):
-            out, out_rep2d, out_d = out_entry
+            out, out_rep2d, out_d, out_pack = out_entry
+            if out.ndim == 4:
+                out = _unpack_w(out, out_pack)
             if out_channels is not None:
                 # pointwise conv as Dense: rep-independent (I, O) parameters
                 out = nn.Dense(out_channels, dtype=self.dtype, name=conv_name)(out)
