@@ -67,3 +67,16 @@ from .humanneurons import (
     get_humanneurons_data, get_humanneurons_dataset, get_humanneurons_loader,
     get_humanneurons_paths,
 )
+from .asem import get_asem_data, get_asem_dataset, get_asem_loader, get_asem_paths
+from .astih import get_astih_data, get_astih_dataset, get_astih_loader, get_astih_paths
+from .cellmap import get_cellmap_data, get_cellmap_dataset, get_cellmap_loader, get_cellmap_paths
+from .malecns import get_malecns_data, get_malecns_dataset, get_malecns_loader, get_malecns_paths
+from .microns import (
+    get_microns_data, get_microns_dataset, get_microns_loader, get_microns_paths,
+    get_microns_minnie65_data, get_microns_minnie65_dataset, get_microns_minnie65_loader,
+    get_microns_minnie65_paths,
+)
+from .microns_nuclei import (
+    get_microns_nuclei_data, get_microns_nuclei_dataset, get_microns_nuclei_loader, get_microns_nuclei_paths,
+)
+from .nisb import get_nisb_data, get_nisb_dataset, get_nisb_loader, get_nisb_paths
