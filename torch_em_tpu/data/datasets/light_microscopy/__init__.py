@@ -154,3 +154,11 @@ from .cellbindb import (
     get_cellbindb_data, get_cellbindb_dataset, get_cellbindb_loader, get_cellbindb_paths,
 )
 from .cisd import get_cisd_data, get_cisd_dataset, get_cisd_loader, get_cisd_paths
+from .bmgd import get_bmgd_data, get_bmgd_dataset, get_bmgd_loader, get_bmgd_paths
+from .e11bio import get_e11bio_data, get_e11bio_dataset, get_e11bio_loader, get_e11bio_paths
+from .idr0095 import get_idr0095_data, get_idr0095_dataset, get_idr0095_loader, get_idr0095_paths
+from .liconn import get_liconn_data, get_liconn_dataset, get_liconn_loader, get_liconn_paths
+from .medussa import get_medussa_data, get_medussa_dataset, get_medussa_loader, get_medussa_paths
+from .morphonet import get_morphonet_data, get_morphonet_dataset, get_morphonet_loader, get_morphonet_paths
+from .mucic import get_mucic_data, get_mucic_dataset, get_mucic_loader, get_mucic_paths
+from .orgline import get_orgline_data, get_orgline_dataset, get_orgline_loader, get_orgline_paths
