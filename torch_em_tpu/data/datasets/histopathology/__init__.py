@@ -24,3 +24,7 @@ from .panoptils import (
 from .segpath import (
     get_segpath_data, get_segpath_dataset, get_segpath_loader, get_segpath_paths,
 )
+from .hest import get_hest_data, get_hest_dataset, get_hest_loader, get_hest_paths
+from .orion_crc import get_orion_crc_data, get_orion_crc_dataset, get_orion_crc_loader, get_orion_crc_paths
+from .pcns import get_pcns_data, get_pcns_dataset, get_pcns_loader, get_pcns_paths
+from .puma import get_puma_data, get_puma_dataset, get_puma_loader, get_puma_paths
