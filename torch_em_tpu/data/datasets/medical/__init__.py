@@ -92,3 +92,5 @@ from .kits import get_kits_data, get_kits_dataset, get_kits_loader, get_kits_pat
 from .panorama import (
     get_panorama_data, get_panorama_dataset, get_panorama_loader, get_panorama_paths,
 )
+from .plethora import get_plethora_data, get_plethora_dataset, get_plethora_loader, get_plethora_paths
+from .sa_med2d import get_sa_med2d_data, get_sa_med2d_dataset, get_sa_med2d_loader, get_sa_med2d_paths
