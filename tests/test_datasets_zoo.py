@@ -105,4 +105,102 @@ class TestZooModules:
             loaders = [k for k in dir(mod) if k.startswith("get_") and k.endswith("_loader")]
             assert loaders, f"{pkg.name} exposes no get_*_loader"
             n_modules += 1
-        assert n_modules >= 140, f"only {n_modules} dataset modules"
+        assert n_modules >= 205, f"only {n_modules} dataset modules"
+
+
+class TestZooLayouts:
+    """Functional layout tests against fabricated folder trees (no downloads)
+    for the north-star datasets (reference layouts: dsb.py, cremi.py, snemi.py)."""
+
+    def test_dsb_reduced_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.dsb import get_dsb_loader, get_dsb_paths
+
+        rng = np.random.default_rng(0)
+        for split in ("train", "test"):
+            for sub in ("images", "masks"):
+                (tmp_path / split / sub).mkdir(parents=True)
+            for i in range(3):
+                raw = (rng.random((64, 64)) * 255).astype("uint8")
+                lab = rng.integers(0, 3, (64, 64)).astype("uint8")
+                Image.fromarray(raw).save(tmp_path / split / "images" / f"im{i}.tif")
+                Image.fromarray(lab).save(tmp_path / split / "masks" / f"im{i}.tif")
+
+        raw_paths, label_paths = get_dsb_paths(str(tmp_path), source="reduced", split="train")
+        assert len(raw_paths) == len(label_paths) == 3
+        # both splits when split=None
+        raw_paths, _ = get_dsb_paths(str(tmp_path), source="reduced")
+        assert len(raw_paths) == 6
+
+        loader = get_dsb_loader(str(tmp_path), patch_shape=(1, 32, 32), batch_size=2,
+                                split="train", boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape == (2, 2, 32, 32)  # fg + boundary channels
+
+    def test_dsb_full_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.dsb import _merge_instances, get_dsb_paths
+
+        rng = np.random.default_rng(1)
+        # fabricate the extracted train-hand layout: full/<id>/{images,masks}
+        for i, kind in enumerate(["fluo", "histo"]):
+            id_ = f"sample{i:03d}"
+            (tmp_path / "full" / id_ / "images").mkdir(parents=True)
+            (tmp_path / "full" / id_ / "masks").mkdir(parents=True)
+            if kind == "fluo":  # grayscale stored as RGBA with equal channels
+                g = (rng.random((48, 48)) * 255).astype("uint8")
+                rgba = np.stack([g, g, g, np.full_like(g, 255)], axis=-1)
+            else:
+                rgba = (rng.random((48, 48, 4)) * 255).astype("uint8")
+                rgba[..., -1] = 255
+            Image.fromarray(rgba).save(tmp_path / "full" / id_ / "images" / f"{id_}.png")
+            for m in range(2):
+                mask = np.zeros((48, 48), dtype="uint8")
+                mask[10 * m:10 * m + 8, 10:20] = 255
+                Image.fromarray(mask).save(tmp_path / "full" / id_ / "masks" / f"m{m}.png")
+
+        _merge_instances(str(tmp_path))
+        raw_paths, label_paths = get_dsb_paths(str(tmp_path), source="full")
+        assert len(raw_paths) == len(label_paths) == 2
+        fluo_paths, _ = get_dsb_paths(str(tmp_path), source="full", domain="fluo")
+        assert len(fluo_paths) == 1
+        # merged instances hold both objects
+        merged = np.asarray(Image.open(label_paths[0]))
+        assert set(np.unique(merged)) == {0, 1, 2}
+
+    def test_cremi_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.cremi import get_cremi_loader
+
+        rng = np.random.default_rng(2)
+        for sample in ("A", "B"):
+            with h5py.File(tmp_path / f"sample_{sample}.h5", "w") as f:
+                f.create_dataset("volumes/raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+                f.create_dataset("volumes/labels/neuron_ids",
+                                 data=rng.integers(1, 5, (8, 64, 64)).astype("uint64"))
+
+        loader = get_cremi_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                  samples=("A", "B"), boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[0] == 1 and y.shape[-3:] == (4, 32, 32)
+
+    def test_snemi_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.snemi import get_snemi_loader
+
+        rng = np.random.default_rng(3)
+        with h5py.File(tmp_path / "snemi_train.h5", "w") as f:
+            f.create_dataset("volumes/raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("volumes/labels/neuron_ids",
+                             data=rng.integers(1, 5, (8, 64, 64)).astype("uint64"))
+
+        loader = get_snemi_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                  sample="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
