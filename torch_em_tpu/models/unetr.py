@@ -208,7 +208,7 @@ def UNETR(
         # map the SAM image-encoder weights into the encoder subtree
         variables = jax.device_get(model.variables)
         encoder_vars = {"params": variables["params"]["encoder"]}
-        converted = load_sam_weights(encoder_vars, encoder_checkpoint)
+        converted = load_sam_weights(encoder_vars, encoder_checkpoint, backbone=backbone)
         variables["params"]["encoder"] = converted["params"]
         model.replace_variables(variables)
     return model

@@ -5,13 +5,16 @@ ViTs (SAM :58, CellposeSAM :120, MAE :212, SAM2 :291, SAM3 :356, ScaleMAE
 :558, DINOv2 :647, DINOv3 :714) behind ``get_vision_transformer`` (:793), all
 returning intermediate global-attention features for UNETR skips.
 
-Here a single native flax ViT implements the SAM image-encoder geometry
-(patch embed, learned interpolatable position embeddings, pre-LN transformer
-blocks, intermediate feature taps). The ``backbone`` argument selects the
-configuration family; pretrained torch checkpoints can be converted with
-:func:`load_sam_weights` (torch-cpu is available for reading them). Window
-attention is replaced by global attention in all blocks — a documented
-deviation that only affects compute cost, not capability.
+Here a native flax ViT implements the full SAM image-encoder geometry
+(reference vit.py:58 wraps segment-anything's encoder, whose geometry is the
+spec): patch embed, learned interpolatable position embeddings, pre-LN
+transformer blocks with 14x14 windowed attention everywhere except the
+``global_attn_indexes`` blocks, decomposed relative position embeddings in
+every attention, and the 256-channel neck. The ``backbone`` argument selects
+the configuration family; pretrained torch checkpoints convert with
+:func:`load_sam_weights` (torch-cpu reads them). Backbones whose geometries
+are not yet implemented (sam2/Hiera, scalemae, dinov2/3) raise on conversion
+instead of silently producing a different function.
 """
 
 from typing import Any, Optional, Sequence, Tuple
@@ -24,8 +27,63 @@ import numpy as np
 __all__ = ["ViT", "get_vision_transformer", "VIT_CONFIGS", "load_sam_weights"]
 
 
+def _get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
+    """Relative positional embeddings per (query, key) pair along one axis
+    (segment-anything ``get_rel_pos`` semantics: linear-interpolate the table
+    to 2*max(q,k)-1 entries, then gather by relative coordinate)."""
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        rel_pos = jax.image.resize(rel_pos, (max_rel_dist, rel_pos.shape[1]), method="linear")
+    q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    relative_coords = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[relative_coords.astype(jnp.int32)]
+
+
+def _add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_size, k_size):
+    """Decomposed relative position bias (segment-anything
+    ``add_decomposed_rel_pos``): attn (B*, qh*qw, kh*kw) += qT·Rh + qT·Rw."""
+    q_h, q_w = q_size
+    k_h, k_w = k_size
+    Rh = _get_rel_pos(q_h, k_h, rel_pos_h).astype(q.dtype)
+    Rw = _get_rel_pos(q_w, k_w, rel_pos_w).astype(q.dtype)
+
+    b, _, dim = q.shape
+    r_q = q.reshape(b, q_h, q_w, dim)
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, Rh)
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, Rw)
+    attn = (attn.reshape(b, q_h, q_w, k_h, k_w)
+            + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :])
+    return attn.reshape(b, q_h * q_w, k_h * k_w)
+
+
+def _window_partition(x, window_size):
+    """Pad to window multiples and split (B, H, W, C) into (B*nW, ws, ws, C)."""
+    b, h, w, c = x.shape
+    pad_h = (window_size - h % window_size) % window_size
+    pad_w = (window_size - w % window_size) % window_size
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window_size, window_size, wp // window_size, window_size, c)
+    windows = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_size, window_size, c)
+    return windows, (hp, wp)
+
+
+def _window_unpartition(windows, window_size, pad_hw, hw):
+    """Inverse of :func:`_window_partition`, cropping the padding."""
+    hp, wp = pad_hw
+    h, w = hw
+    b = windows.shape[0] // (hp * wp // window_size // window_size)
+    x = windows.reshape(b, hp // window_size, wp // window_size, window_size, window_size, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w]
+
+
 class _Attention(nn.Module):
     num_heads: int
+    use_rel_pos: bool = False
+    rel_pos_size: int = 14  # window size (or feature-grid size for global blocks)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -34,17 +92,24 @@ class _Attention(nn.Module):
         b, h, w, c = x.shape
         head_dim = c // self.num_heads
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x.reshape(b, h * w, c))
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # (B, L, 3, nH, d) -> (3, B*nH, L, d), matching SAM's merged-head layout
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, b * self.num_heads, h * w, head_dim)
+        q, k, v = qkv[0], qkv[1], qkv[2]
 
-        def heads(t):
-            return t.reshape(b, h * w, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(q), heads(k), heads(v)
-        attn = jnp.einsum("bnqd,bnkd->bnqk", q * (head_dim ** -0.5), k,
+        attn = jnp.einsum("bqd,bkd->bqk", q * (head_dim ** -0.5), k,
                           preferred_element_type=jnp.float32)
+        if self.use_rel_pos:
+            rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros,
+                                   (2 * self.rel_pos_size - 1, head_dim))
+            rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros,
+                                   (2 * self.rel_pos_size - 1, head_dim))
+            attn = _add_decomposed_rel_pos(attn, q.astype(jnp.float32),
+                                           rel_pos_h, rel_pos_w, (h, w), (h, w))
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bnqk,bnkd->bnqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        out = jnp.einsum("bqk,bkd->bqd", attn, v)
+        out = out.reshape(b, self.num_heads, h * w, head_dim).transpose(0, 2, 1, 3)
+        out = out.reshape(b, h * w, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         return out.reshape(b, h, w, c)
 
@@ -52,13 +117,26 @@ class _Attention(nn.Module):
 class _Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
+    window_size: int = 0  # 0 = global attention
+    use_rel_pos: bool = False
+    grid_size: int = 64  # feature-grid side for global-block rel-pos tables
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        x = x + _Attention(self.num_heads, dtype=self.dtype, name="attn")(h)
+        if self.window_size > 0:
+            hw = h.shape[1], h.shape[2]
+            h, pad_hw = _window_partition(h, self.window_size)
+        attn = _Attention(
+            self.num_heads, use_rel_pos=self.use_rel_pos,
+            rel_pos_size=self.window_size if self.window_size > 0 else self.grid_size,
+            dtype=self.dtype, name="attn",
+        )(h)
+        if self.window_size > 0:
+            attn = _window_unpartition(attn, self.window_size, pad_hw, hw)
+        x = x + attn
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_lin1")(h)
         h = nn.gelu(h)
@@ -84,6 +162,8 @@ class ViT(nn.Module):
     out_chans: int = 256
     global_attn_indexes: Tuple[int, ...] = (2, 5, 8, 11)
     use_neck: bool = True
+    window_size: int = 0    # window size of non-global blocks (14 for SAM)
+    use_rel_pos: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -104,7 +184,14 @@ class ViT(nn.Module):
 
         intermediates = []
         for i in range(self.depth):
-            h = _Block(self.num_heads, self.mlp_ratio, dtype=self.dtype, name=f"block{i}")(h)
+            is_global = i in self.global_attn_indexes
+            h = _Block(
+                self.num_heads, self.mlp_ratio,
+                window_size=0 if is_global else self.window_size,
+                use_rel_pos=self.use_rel_pos,
+                grid_size=self.img_size // self.patch_size,
+                dtype=self.dtype, name=f"block{i}",
+            )(h)
             if i in self.global_attn_indexes:
                 intermediates.append(jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32))
 
@@ -127,18 +214,24 @@ VIT_CONFIGS = {
     "vit_h": dict(embed_dim=1280, depth=32, num_heads=16, global_attn_indexes=(7, 15, 23, 31)),
 }
 
-# backbone families select input-normalization statistics & neck usage;
-# the encoder geometry is shared (reference vit.py keeps one wrapper per family)
+# backbone families select geometry details + neck usage (reference vit.py
+# keeps one wrapper per family). The SAM family uses 14x14 windowed attention
+# + decomposed rel-pos embeddings (segment_anything image_encoder spec);
+# MAE-style backbones use plain global attention without rel-pos.
 BACKBONE_DEFAULTS = {
-    "sam": dict(use_neck=True),
-    "sam2": dict(use_neck=True),
-    "sam3": dict(use_neck=True),
-    "cellpose_sam": dict(use_neck=True),
+    "sam": dict(use_neck=True, window_size=14, use_rel_pos=True),
+    "sam3": dict(use_neck=True, window_size=14, use_rel_pos=True),
+    "cellpose_sam": dict(use_neck=True, window_size=14, use_rel_pos=True),
+    "sam2": dict(use_neck=True),       # true geometry is a Hiera — see load_sam_weights
     "mae": dict(use_neck=False),
-    "scalemae": dict(use_neck=False),
+    "scalemae": dict(use_neck=False),  # true geometry adds resolution-aware sincos pos-embeds
     "dinov2": dict(use_neck=False),
     "dinov3": dict(use_neck=False),
 }
+
+# backbones whose reference geometry is NOT faithfully implemented yet;
+# checkpoint conversion refuses these rather than silently diverging
+UNSUPPORTED_CONVERSION_BACKBONES = ("sam2", "scalemae", "dinov2", "dinov3")
 
 
 def get_vision_transformer(backbone: str = "sam", model: str = "vit_b",
@@ -155,14 +248,26 @@ def get_vision_transformer(backbone: str = "sam", model: str = "vit_b",
     return ViT(img_size=img_size, in_chans=in_chans, dtype=dtype, **cfg)
 
 
-def load_sam_weights(variables, checkpoint_path: str):
-    """Best-effort conversion of a SAM image-encoder torch checkpoint into the
-    native ViT parameter tree (torch-cpu reads the file; tensors are mapped by
-    name and transposed to flax conventions). Unmatched entries are skipped
-    with a warning."""
+def load_sam_weights(variables, checkpoint_path: str, backbone: str = "sam",
+                     strict: bool = True):
+    """Convert a SAM image-encoder torch checkpoint into the native ViT
+    parameter tree (torch-cpu reads the file; tensors are mapped by name and
+    transposed to flax conventions), including windowed-attention rel-pos
+    tables. With ``strict=True`` (default) any unmatched tensor raises —
+    a converted encoder must compute the same function as the source.
+
+    Backbones whose reference geometry is not implemented (sam2/Hiera,
+    scalemae, dinov2/3) are rejected outright.
+    """
     import warnings
 
     import torch
+
+    if backbone in UNSUPPORTED_CONVERSION_BACKBONES:
+        raise NotImplementedError(
+            f"Checkpoint conversion for backbone '{backbone}' is not supported: its reference "
+            "geometry (Hiera / resolution-aware sincos / DINO) is not implemented natively yet. "
+            "Supported: 'sam', 'sam3', 'cellpose_sam', 'mae'.")
 
     state = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
     if "model" in state:
@@ -215,6 +320,10 @@ def load_sam_weights(variables, checkpoint_path: str):
                 _set([blk, "attn", "proj", "kernel"], t.T)
             elif rest == "attn.proj.bias":
                 _set([blk, "attn", "proj", "bias"], t)
+            elif rest == "attn.rel_pos_h":
+                _set([blk, "attn", "rel_pos_h"], t)
+            elif rest == "attn.rel_pos_w":
+                _set([blk, "attn", "rel_pos_w"], t)
             elif rest == "mlp.lin1.weight":
                 _set([blk, "mlp_lin1", "kernel"], t.T)
             elif rest == "mlp.lin1.bias":
@@ -241,6 +350,10 @@ def load_sam_weights(variables, checkpoint_path: str):
             skipped.append(name)
 
     if skipped:
-        warnings.warn(f"load_sam_weights: skipped {len(skipped)} unmatched tensors "
-                      f"(converted {converted}), e.g. {skipped[:5]}")
+        msg = (f"load_sam_weights: {len(skipped)} unmatched tensors "
+               f"(converted {converted}), e.g. {skipped[:5]}")
+        if strict:
+            raise ValueError(msg + " — the converted encoder would not reproduce the "
+                             "source model. Pass strict=False to skip them anyway.")
+        warnings.warn(msg)
     return {**variables, "params": params}
