@@ -1,0 +1,72 @@
+"""Torch-consumable bioimage.io weights: the exported ``weights.pt`` state
+dict must load into the reference's own torch UNet (loaded standalone from
+/root/reference — pure torch) and reproduce the native model's outputs.
+This is the ilastik/deepimageJ interop contract
+(reference torch_em/util/modelzoo.py:158).
+"""
+
+import importlib.util
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def _load_ref_unet():
+    spec = importlib.util.spec_from_file_location(
+        "ref_unet_export_test", "/root/reference/torch_em/model/unet.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestTorchExport:
+    def test_unet2d_state_dict_roundtrip(self):
+        from torch_em_tpu.models import UNet2d
+        from torch_em_tpu.utils.modelzoo import torch_state_dict_from_flax
+
+        model = UNet2d(in_channels=1, out_channels=2, initial_features=8,
+                       depth=2, final_activation="Sigmoid", seed=3)
+        state = torch_state_dict_from_flax(model)
+        assert state is not None
+
+        ref = _load_ref_unet()
+        net = ref.UNet2d(in_channels=1, out_channels=2, initial_features=8,
+                         depth=2, final_activation="Sigmoid")
+        # strict load: every tensor must match by name and shape
+        net.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in state.items()})
+        net.eval()
+
+        x = np.random.RandomState(0).rand(1, 1, 64, 64).astype("float32")
+        out_jax = np.asarray(model(x))
+        with torch.no_grad():
+            out_torch = net(torch.from_numpy(x)).numpy()
+        assert out_jax.shape == out_torch.shape
+        np.testing.assert_allclose(out_jax, out_torch, atol=1e-4, rtol=1e-3)
+
+    def test_unet3d_state_dict_loads(self):
+        from torch_em_tpu.models import UNet3d
+        from torch_em_tpu.utils.modelzoo import torch_state_dict_from_flax
+
+        model = UNet3d(in_channels=1, out_channels=1, initial_features=4, depth=2)
+        state = torch_state_dict_from_flax(model)
+        ref = _load_ref_unet()
+        net = ref.UNet3d(in_channels=1, out_channels=1, initial_features=4, depth=2)
+        net.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in state.items()})
+
+    def test_export_writes_torch_weights(self, tmp_path):
+        import json
+        import os
+
+        import yaml
+
+        from torch_em_tpu.models import UNet2d
+        from torch_em_tpu.utils.modelzoo import _write_torch_weights
+
+        model = UNet2d(in_channels=1, out_channels=1, initial_features=4, depth=2)
+        path, arch = _write_torch_weights(model, str(tmp_path))
+        assert path is not None and os.path.exists(path)
+        assert arch == "torch_em.model.unet.UNet2d"
+        loaded = torch.load(path, weights_only=True)
+        assert "out_conv.weight" in loaded

@@ -99,6 +99,115 @@ def _write_weights(model, export_folder):
     return weights_path
 
 
+# reference UNet constructor paths for the pytorch_state_dict weights entry
+_TORCH_ARCHITECTURES = {
+    "torch_em_tpu.models.unet.UNet2d": "torch_em.model.unet.UNet2d",
+    "torch_em_tpu.models.unet.UNet3d": "torch_em.model.unet.UNet3d",
+    "torch_em_tpu.models.unet.AnisotropicUNet": "torch_em.model.unet.AnisotropicUNet",
+}
+
+
+def torch_state_dict_from_flax(model) -> Optional[Dict[str, np.ndarray]]:
+    """Convert a native UNet's flax parameter tree into a torch_em
+    ``UNet2d/UNet3d/AnisotropicUNet`` state dict (numpy values).
+
+    The reference's module naming (unet.py: ``encoder.blocks.<i>.block.{1,4}``
+    conv weights, ``decoder.samplers.<i>.conv``, ``out_conv``) is the
+    behavioral contract for ilastik/deepimageJ interop
+    (reference torch_em/util/modelzoo.py:158). The default InstanceNorm is
+    parameter-free on both sides, so convs + biases are the whole state.
+    Upsampler note: this rebuild applies the 1x1 conv before the (bi/tri)linear
+    interpolation — linear ops commute, so the weights transfer exactly.
+
+    Returns None if the model is not a UNet-family model.
+    """
+    import jax
+
+    factory = getattr(model, "factory", "") or ""
+    if factory not in _TORCH_ARCHITECTURES:
+        return None
+
+    params = jax.device_get(model.variables)["params"]
+
+    def conv_w(kernel):
+        kernel = np.asarray(kernel, dtype=np.float32)
+        if kernel.ndim == 4:    # (kh, kw, I, O) -> (O, I, kh, kw)
+            return kernel.transpose(3, 2, 0, 1)
+        if kernel.ndim == 5:    # (kd, kh, kw, I, O) -> (O, I, kd, kh, kw)
+            return kernel.transpose(4, 3, 0, 1, 2)
+        if kernel.ndim == 2:    # dense 1x1: (I, O) -> (O, I, 1, 1[, 1])
+            t = kernel.T
+            return t.reshape(t.shape + (1, 1))
+        raise ValueError(f"Unsupported kernel rank {kernel.ndim}")
+
+    spatial_rank = None
+    state = {}
+    consumed = set()
+
+    def take(name):
+        consumed.add(name)
+        return params[name]
+
+    n_levels = len([k for k in params if k.startswith("encoder")])
+    for i in range(n_levels):
+        for src, dst in ((f"encoder{i}", f"encoder.blocks.{i}"),
+                         (f"decoder{i}", f"decoder.blocks.{i}")):
+            block = take(src)
+            for j, conv in enumerate(("conv0", "conv1")):
+                w = conv_w(block[conv]["kernel"])
+                spatial_rank = w.ndim - 2
+                state[f"{dst}.block.{1 + 3 * j}.weight"] = w
+                state[f"{dst}.block.{1 + 3 * j}.bias"] = np.asarray(
+                    block[conv]["bias"], dtype=np.float32)
+                # affine norms (GroupNorm/BatchNorm) precede each conv at block.{0,3}
+                norm = block.get(f"norm{j}")
+                if norm is not None and "scale" in norm:
+                    state[f"{dst}.block.{3 * j}.weight"] = np.asarray(norm["scale"], np.float32)
+                    state[f"{dst}.block.{3 * j}.bias"] = np.asarray(norm["bias"], np.float32)
+        sampler = take(f"sampler{i}")
+        w = conv_w(sampler["conv"]["kernel"])
+        if w.ndim - 2 < spatial_rank:  # dense 1x1 emitted as 2D; pad to 3D
+            w = w.reshape(w.shape[:2] + (1,) * spatial_rank)
+        state[f"decoder.samplers.{i}.conv.weight"] = w
+        state[f"decoder.samplers.{i}.conv.bias"] = np.asarray(sampler["conv"]["bias"], np.float32)
+
+    base = take("base")
+    for j, conv in enumerate(("conv0", "conv1")):
+        state[f"base.block.{1 + 3 * j}.weight"] = conv_w(base[conv]["kernel"])
+        state[f"base.block.{1 + 3 * j}.bias"] = np.asarray(base[conv]["bias"], np.float32)
+        norm = base.get(f"norm{j}")
+        if norm is not None and "scale" in norm:
+            state[f"base.block.{3 * j}.weight"] = np.asarray(norm["scale"], np.float32)
+            state[f"base.block.{3 * j}.bias"] = np.asarray(norm["bias"], np.float32)
+
+    out = take("out_conv")
+    w = conv_w(out["kernel"])
+    if w.ndim - 2 < spatial_rank:
+        w = w.reshape(w.shape[:2] + (1,) * spatial_rank)
+    state["out_conv.weight"] = w
+    state["out_conv.bias"] = np.asarray(out["bias"], np.float32)
+
+    leftovers = set(params) - consumed
+    if leftovers:
+        raise ValueError(f"Unmapped parameter groups in torch export: {sorted(leftovers)}")
+    return state
+
+
+def _write_torch_weights(model, export_folder):
+    """Emit reference-loadable ``weights.pt`` (torch state dict) for the UNet
+    family; returns (path, architecture) or (None, None) for other models."""
+    state = torch_state_dict_from_flax(model)
+    if state is None:
+        return None, None
+    try:
+        import torch
+    except ImportError:
+        return None, None
+    weights_path = os.path.join(export_folder, "weights.pt")
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in state.items()}, weights_path)
+    return weights_path, _TORCH_ARCHITECTURES[model.factory]
+
+
 def export_bioimageio_model(
     checkpoint: str,
     output_path: str,
@@ -156,6 +265,7 @@ def export_bioimageio_model(
     np.save(os.path.join(export_folder, "test_input.npy"), test_input)
     np.save(os.path.join(export_folder, "test_output.npy"), test_output)
     weights_path = _write_weights(model, export_folder)
+    torch_weights_path, torch_arch = _write_torch_weights(model, export_folder)
 
     # model reconstruction manifest (framework-native weights entry)
     manifest = {
@@ -201,6 +311,14 @@ def export_bioimageio_model(
         "weights": {
             "jax": {"source": os.path.basename(weights_path),
                     "architecture": manifest["factory"]},
+            **({"pytorch_state_dict": {
+                "source": os.path.basename(torch_weights_path),
+                "architecture": {
+                    "callable": torch_arch.rsplit(".", 1)[-1],
+                    "import_from": torch_arch.rsplit(".", 1)[0],
+                    "kwargs": manifest["kwargs"],
+                },
+            }} if torch_weights_path is not None else {}),
         },
         "config": config,
     }
