@@ -97,6 +97,52 @@ def main():
     # v5e peak: 197 TFLOP/s bf16
     mfu = (flops_per_step * steps_per_sec) / 197e12 if flops_per_step else None
 
+    # secondary metric: patches/s with the REAL host data path in the loop
+    # (SegmentationDataset over h5 + AffinityTransform + prefetching loader
+    # feeding the same jitted step) — measures whether the host keeps up with
+    # the device (SURVEY hard part #2). Uses one affinity offset so the y
+    # shape matches the compiled step (no second executable).
+    loader_patches_per_sec = None
+    try:
+        import shutil
+        import tempfile
+
+        import h5py
+
+        from torch_em_tpu.data import DataLoader as TemLoader, SegmentationDataset
+        from torch_em_tpu.transforms.label import AffinityTransform
+
+        tmpdir = tempfile.mkdtemp(prefix="bench_loader_")
+        h5_path = os.path.join(tmpdir, "vol.h5")
+        with h5py.File(h5_path, "w") as f:
+            f.create_dataset("raw", data=rng.random((64, 512, 512), dtype=np.float32),
+                             chunks=(32, 128, 128))
+            f.create_dataset("labels",
+                             data=rng.integers(1, 500, (64, 512, 512)).astype("uint32"),
+                             chunks=(32, 128, 128))
+        ds = SegmentationDataset(
+            h5_path, "raw", h5_path, "labels", patch_shape=patch,
+            label_transform=AffinityTransform(offsets=[[-1, 0, 0]], add_mask=False),
+            label_dtype="float32", n_samples=4 * (n_warmup + n_steps),
+        )
+        loader = TemLoader(ds, batch_size=batch_size, shuffle=True, num_workers=2)
+        it = iter(loader)
+        for _ in range(n_warmup):
+            xb, yb = next(it)
+            variables, opt_state, loss = step(
+                variables, opt_state, jax.device_put(xb, device), jax.device_put(yb, device))
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            xb, yb = next(it)
+            variables, opt_state, loss = step(
+                variables, opt_state, jax.device_put(xb, device), jax.device_put(yb, device))
+        jax.block_until_ready(loss)
+        loader_patches_per_sec = n_steps * batch_size / (time.perf_counter() - t0)
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    except Exception:
+        pass
+
     # secondary metric: tiled-inference throughput (Mvoxel/s) on a synthetic volume
     inference_mvoxps = None
     try:
@@ -139,6 +185,8 @@ def main():
             "mvoxels_per_sec": round(float(mvoxels_per_sec), 2),
             "s_per_iter": round(dt / n_steps, 4),
             "mfu_vs_v5e_peak": None if mfu is None else round(float(mfu), 4),
+            "patches_per_sec_with_loader": None if loader_patches_per_sec is None
+            else round(float(loader_patches_per_sec), 4),
             "tiled_inference_mvoxels_per_sec": None if inference_mvoxps is None
             else round(inference_mvoxps, 2),
             "device": str(jax.devices()[0]),

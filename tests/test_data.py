@@ -169,3 +169,35 @@ class TestMultiKeyChannels:
         x, y = ds[0]
         assert np.asarray(x).shape == (3, 32, 32)
         assert np.asarray(y).shape == (1, 32, 32)
+
+
+class TestProcessWorkers:
+    """Process-based loader workers (SURVEY hard part #2): spawn pool,
+    dataset pickled once per worker, handles reopened in the child."""
+
+    def test_process_mode_matches_thread_mode(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data import DataLoader, SegmentationDataset
+        from torch_em_tpu.transforms.label import BoundaryTransform
+
+        p = str(tmp_path / "x.h5")
+        with h5py.File(p, "w") as f:
+            f.create_dataset("raw", data=np.random.rand(16, 64, 64).astype("float32"))
+            f.create_dataset("labels", data=np.random.randint(0, 4, (16, 64, 64)))
+        ds = SegmentationDataset(
+            p, "raw", p, "labels", patch_shape=(1, 32, 32), ndim=2,
+            label_transform=BoundaryTransform(add_binary_target=True, ndim=2),
+            label_dtype="float32",
+        )
+        loader = DataLoader(ds, batch_size=4, num_workers=2, worker_mode="process")
+        try:
+            n = 0
+            for x, y in loader:
+                assert x.shape == (4, 1, 32, 32) and y.shape == (4, 2, 32, 32)
+                n += 1
+                if n >= 3:
+                    break
+            assert n == 3
+        finally:
+            loader.shutdown()

@@ -74,10 +74,51 @@ class TestHaloShardedInference:
         mesh = get_mesh(n_devices=4, axis_names=("space",))
         model = UNet2d(in_channels=1, out_channels=2, depth=2, initial_features=4, norm=None,
                        final_activation="Sigmoid")
-        volume = np.random.rand(1, 128, 64).astype("float32")
+        volume = np.random.rand(1, 256, 64).astype("float32")
         # halo must cover the receptive field for an exact match
         sharded = halo_sharded_predict(model, volume, mesh, halo=32, axis_name="space")
         full = np.asarray(model(volume[None]))[0]
         assert sharded.shape == full.shape
-        # interior matches exactly; only the volume border differs (zero halo)
+        # interior matches exactly; only the volume border differs (reflect halo)
         np.testing.assert_allclose(sharded[:, 36:-36, :], full[:, 36:-36, :], atol=1e-4)
+
+
+class TestHaloAutoDerivation:
+    def test_auto_halo_matches_unsharded_interior(self):
+        from torch_em_tpu.parallel.halo import receptive_field_halo
+
+        mesh = get_mesh(n_devices=4, axis_names=("space",))
+        model = UNet2d(in_channels=1, out_channels=2, depth=2, initial_features=4, norm=None,
+                       final_activation="Sigmoid")
+        h = receptive_field_halo(model, spatial_axis=0)
+        assert h >= 16  # depth-2 UNet RF is ~20 one-sided
+        volume = np.random.rand(1, 32 * 4 + 2 * 0, 64).astype("float32")
+        volume = np.random.rand(1, 128, 64).astype("float32")
+        sharded = halo_sharded_predict(model, volume, mesh, axis_name="space")  # halo=None -> auto
+        full = np.asarray(model(volume[None]))[0]
+        # interior (away from the volume border) matches the unsharded forward
+        np.testing.assert_allclose(sharded[:, h:-h, :], full[:, h:-h, :], atol=1e-4)
+
+    def test_large_volume_chunked(self):
+        from torch_em_tpu.parallel.halo import halo_sharded_predict_large
+
+        mesh = get_mesh(n_devices=4, axis_names=("space",))
+        model = UNet2d(in_channels=1, out_channels=1, depth=2, initial_features=4, norm=None,
+                       final_activation="Sigmoid")
+        volume = np.random.rand(1, 256, 64).astype("float32")
+        out = halo_sharded_predict_large(model, volume, mesh, chunk=128, axis_name="space")
+        assert out.shape == (1, 256, 64)
+        full = np.asarray(model(volume[None]))[0]
+        h = 24
+        # chunk seams are exact: compare the whole interior incl. the seam at 128
+        np.testing.assert_allclose(out[:, h:-h, :], full[:, h:-h, :], atol=1e-4)
+
+    def test_anisotropic_axis_halos_differ(self):
+        from torch_em_tpu.models import AnisotropicUNet
+        from torch_em_tpu.parallel.halo import receptive_field_halo
+
+        model = AnisotropicUNet(in_channels=1, out_channels=1, initial_features=4,
+                                scale_factors=[[1, 2, 2], [2, 2, 2]])
+        h_z = receptive_field_halo(model, spatial_axis=0)
+        h_xy = receptive_field_halo(model, spatial_axis=1)
+        assert h_z < h_xy  # z is downscaled less -> smaller receptive field

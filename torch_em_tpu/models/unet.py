@@ -327,11 +327,76 @@ def _conv2d_wp(x, kernel, p):
     """
     b, h, w, c = x.shape
     c_out = kernel.shape[-1]
+    y = _conv_packed(x.reshape(b, h, w // p, p * c), kernel, p)
+    return y.reshape(b, h, w, c_out)
+
+
+# Packed-conv lowering: "dense3" (default) is the 3-block expanded kernel —
+# p x nominal FLOPs but a single dense MXU-saturating conv; "core" computes
+# the in-block taps as a 1-block-wide conv plus two tiny cross-block
+# correction convs — ~1/3 the executed FLOPs on paper, but measured 59%
+# SLOWER on the CREMI bench (78.5 vs 49.5 ms/step): XLA schedules the
+# narrow correction convs and their pads as separate low-utilization ops
+# and the split breaks the conv+norm fusions. Kept for reference.
+PACKED_CONV_MODE = "dense3"
+
+
+def _core_kernel_wp(w, p):
+    """In-block part of the width-packed conv kernel: (kh, 1, p*Ci, p*Co)
+    holding every tap whose input pixel stays inside the output's block
+    (``t = oj + kx - 1`` with ``0 <= t < p``)."""
+    kh, kw, ci, co = w.shape
+    wp = jnp.zeros((kh, 1, p, ci, p, co), w.dtype)
+    for oj in range(p):
+        for kx in range(kw):
+            t = oj + kx - 1
+            if 0 <= t < p:
+                wp = wp.at[:, 0, t, :, oj, :].set(w[:, kx])
+    return wp.reshape(kh, 1, p * ci, p * co)
+
+
+def _conv_packed_core(x, kernel, p):
+    """Width-packed 3x3 conv as core + boundary corrections (exact).
+
+    x: (B, H, W/p, p*Ci) packed; kernel: (kh, 3, Ci, Co). The core conv
+    covers all taps that stay inside each output block; the two remaining
+    taps — output position 0 reading the last pixel of the previous block
+    (kx=0) and position p-1 reading the first pixel of the next block (kx=2)
+    — are Ci->Co convs over one channel slice with a one-block shift,
+    2/(3p) of the nominal FLOPs each.
+    """
+    kh, kw, ci, co = kernel.shape
+    dn = ("NHWC", "HWIO", "NHWC")
+    hpad = (kh // 2, kh // 2)
     y = jax.lax.conv_general_dilated(
-        x.reshape(b, h, w // p, p * c), _expand_kernel_wp(kernel, p), (1, 1), [(1, 1), (1, 1)],
+        x, _core_kernel_wp(kernel, p), (1, 1), [hpad, (0, 0)],
+        dimension_numbers=dn, preferred_element_type=x.dtype,
+    )
+    wb = x.shape[2]
+    # left: oj=0, kx=0 <- previous block's last pixel (dj = p-1)
+    yl = jax.lax.conv_general_dilated(
+        x[..., (p - 1) * ci:], kernel[:, 0:1], (1, 1), [hpad, (1, 0)],
+        dimension_numbers=dn, preferred_element_type=x.dtype,
+    )[:, :, :wb]
+    # right: oj=p-1, kx=2 <- next block's first pixel (dj = 0)
+    yr = jax.lax.conv_general_dilated(
+        x[..., :ci], kernel[:, 2:3], (1, 1), [hpad, (0, 1)],
+        dimension_numbers=dn, preferred_element_type=x.dtype,
+    )[:, :, 1:]
+    pad = [(0, 0)] * 3
+    return (y + jnp.pad(yl, pad + [(0, (p - 1) * co)])
+            + jnp.pad(yr, pad + [((p - 1) * co, 0)]))
+
+
+def _conv_packed(x, kernel, p):
+    """Conv on a width-packed tensor; dispatches on PACKED_CONV_MODE."""
+    if PACKED_CONV_MODE == "core" and kernel.shape[1] == 3:
+        return _conv_packed_core(x, kernel, p)
+    kh = kernel.shape[0]
+    return jax.lax.conv_general_dilated(
+        x, _expand_kernel_wp(kernel, p), (1, 1), [(kh // 2, kh // 2), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=x.dtype,
     )
-    return y.reshape(b, h, w, c_out)
 
 
 def _pack_factor(c_out):
@@ -532,12 +597,7 @@ class _Conv2dFast(nn.Module):
             k = kernel[..., c0:c0 + cin, :].astype(self.dtype)
             c0 += cin
             if self.pack > 1:
-                yi = jax.lax.conv_general_dilated(
-                    p.astype(self.dtype), _expand_kernel_wp(k, self.pack),
-                    (1, 1), [(1, 1), (1, 1)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=self.dtype,
-                )
+                yi = _conv_packed(p.astype(self.dtype), k, self.pack)
             elif (pk := _use_s2d(p, k, self.padding)) > 1:
                 yi = _conv2d_wp(p.astype(self.dtype), k, pk)
             else:
@@ -583,12 +643,7 @@ class _Conv3dFast(nn.Module):
             c0 += cin
             if self.pack > 1:
                 assert p.ndim == 4 and self.kernel_size[0] == 1
-                yi = jax.lax.conv_general_dilated(
-                    p.astype(self.dtype), _expand_kernel_wp(k[0], self.pack),
-                    (1, 1), [(1, 1), (1, 1)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=self.dtype,
-                )
+                yi = _conv_packed(p.astype(self.dtype), k[0], self.pack)
             elif p.ndim == 4:
                 assert self.kernel_size[0] == 1, "2.5D mode requires depth-1 kernels."
                 if (pk := _use_s2d(p, k[0], self.padding[1:])) > 1:

@@ -7,9 +7,18 @@ The reference scales volume size by halo-blocked tiling through a thread pool
 exchanges halo slabs with its mesh neighbors via ``jax.lax.ppermute`` over
 ICI, runs the network on its slab + halo, and crops the halo off — one fused
 XLA program, no host round-trips.
+
+Production behavior (round 2):
+- ``halo=None`` derives the halo from the model's receptive field
+  (scale factors + 3x3 double-conv blocks), so the sharded result matches the
+  unsharded forward exactly away from the volume border.
+- mesh-boundary devices see *reflect*-padded halos, matching the tiled
+  inference path's border handling (utils/prediction.py).
+- ``halo_sharded_predict_large`` streams outer chunks through the mesh for
+  volumes whose sharded slabs would not fit in HBM.
 """
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -23,26 +32,82 @@ try:
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["halo_sharded_predict"]
+__all__ = ["halo_sharded_predict", "halo_sharded_predict_large", "receptive_field_halo"]
+
+
+def _axis_scale_factors(model, spatial_axis: int) -> Sequence[int]:
+    """Per-level downscale factors of ``spatial_axis`` from the model's
+    init_kwargs (AnisotropicUNet per-axis lists; UNet2d/3d scalar 2s)."""
+    kwargs = getattr(model, "init_kwargs", {}) or {}
+    sf = kwargs.get("scale_factors")
+    if sf is not None:
+        factors = []
+        for level in sf:
+            if isinstance(level, (list, tuple)):
+                factors.append(int(level[spatial_axis]))
+            else:
+                factors.append(int(level))
+        return factors
+    depth = int(kwargs.get("depth", 4))
+    return [2] * depth
+
+
+def receptive_field_halo(model, spatial_axis: int = 0) -> int:
+    """One-sided receptive field of the UNet along ``spatial_axis``.
+
+    Each level contributes two 3x3 convs (1 pixel each side) at its stride,
+    on both the encoder and the decoder path, plus the two base convs at the
+    full downscale — the standard U-Net receptive-field recursion. The result
+    is rounded up to the total downscale factor so that slab+2*halo keeps the
+    divisibility constraint satisfiable.
+    """
+    factors = _axis_scale_factors(model, spatial_axis)
+    stride, rf = 1, 0
+    for f in factors:
+        rf += 4 * stride          # 2 convs encoder + 2 convs decoder
+        stride *= max(int(f), 1)
+    rf += 2 * stride              # base block
+    total = stride
+    return int(int(np.ceil(rf / total)) * total)
+
+
+def total_downscale(model, spatial_axis: int = 0) -> int:
+    """Product of the model's per-level downscale factors along an axis —
+    the divisibility constraint on input extents."""
+    return int(np.prod([max(int(f), 1) for f in _axis_scale_factors(model, spatial_axis)]))
+
+
+def _reflect(slab, halo, from_top):
+    """Reflected halo slab from a device's own border region."""
+    if from_top:
+        return slab[:, 1:halo + 1][:, ::-1]
+    return slab[:, -halo - 1:-1][:, ::-1]
 
 
 def halo_sharded_predict(
     model,
     volume: np.ndarray,
     mesh: Mesh,
-    halo: int = 16,
+    halo: Optional[int] = None,
     axis_name: str = "space",
     variables=None,
 ) -> np.ndarray:
     """Predict a (C, S0, *rest) volume sharded along S0 across ``mesh[axis_name]``.
 
-    The slab size per device plus 2*halo must satisfy the model's divisibility
-    constraint. Mesh-boundary devices see zero-padded halos (matching the
-    zero-context behavior of block borders in the reference's tiled path).
+    ``halo=None`` derives the halo from the model's receptive field, making
+    the sharded prediction exact (interior-identical to the unsharded
+    forward). Mesh-boundary devices see reflect-padded halos, matching the
+    tiled path's border handling.
     """
     n = mesh.shape[axis_name]
-    c, s0 = volume.shape[0], volume.shape[1]
+    s0 = volume.shape[1]
     assert s0 % n == 0, f"Spatial axis {s0} must divide the mesh axis {n}."
+    if halo is None:
+        halo = receptive_field_halo(model, spatial_axis=0)
+    assert s0 // n > halo, (
+        f"Per-device slab {s0 // n} must exceed the halo {halo} (reflection at the "
+        "mesh border sources from the device's own slab); use fewer devices or "
+        "halo_sharded_predict_large.")
     variables = model.variables if variables is None else variables
     module = model.module
 
@@ -54,8 +119,9 @@ def halo_sharded_predict(
         # receive the bottom slab of the previous device and top of the next
         from_prev = jax.lax.ppermute(bottom, axis_name, [(i, i + 1) for i in range(n - 1)])
         from_next = jax.lax.ppermute(top, axis_name, [(i + 1, i) for i in range(n - 1)])
-        from_prev = jnp.where(idx == 0, jnp.zeros_like(from_prev), from_prev)
-        from_next = jnp.where(idx == n - 1, jnp.zeros_like(from_next), from_next)
+        # mesh borders: reflect the device's own data (tiled-path semantics)
+        from_prev = jnp.where(idx == 0, _reflect(local, halo, from_top=True), from_prev)
+        from_next = jnp.where(idx == n - 1, _reflect(local, halo, from_top=False), from_next)
         extended = jnp.concatenate([from_prev, local, from_next], axis=1)
         pred = module.apply(vars_, extended[None], train=False)
         if isinstance(pred, (list, tuple)):
@@ -72,3 +138,53 @@ def halo_sharded_predict(
     vol = jax.device_put(jnp.asarray(volume, dtype=jnp.float32), NamedSharding(mesh, spec_in))
     reps = jax.device_put(variables, NamedSharding(mesh, P()))
     return np.asarray(jax.jit(fn)(reps, vol))
+
+
+def halo_sharded_predict_large(
+    model,
+    volume: np.ndarray,
+    mesh: Mesh,
+    chunk: int,
+    halo: Optional[int] = None,
+    axis_name: str = "space",
+    variables=None,
+) -> np.ndarray:
+    """Sharded prediction of volumes too large for one mesh pass: outer
+    chunks of ``chunk`` planes along S0 stream through the mesh, each
+    extended by the halo on the host (reflect at the volume border) so chunk
+    seams are exact.
+
+    ``chunk`` must be divisible by the mesh size and >= mesh_size * halo.
+    """
+    n = mesh.shape[axis_name]
+    if halo is None:
+        halo = receptive_field_halo(model, spatial_axis=0)
+    s0 = volume.shape[1]
+    assert chunk % n == 0, f"chunk {chunk} must divide the mesh axis {n}"
+
+    out = None
+    for a in range(0, s0, chunk):
+        b = min(a + chunk, s0)
+        # host-side halo extension, reflect-padded at the volume border
+        lo, hi = a - halo, b + halo
+        pad_lo, pad_hi = max(0, -lo), max(0, hi - s0)
+        ext = volume[:, max(0, lo):min(s0, hi)]
+        if pad_lo or pad_hi:
+            ext = np.pad(ext, [(0, 0), (pad_lo, pad_hi)] + [(0, 0)] * (volume.ndim - 2),
+                         mode="reflect")
+        # pad the extended chunk so it divides the mesh evenly AND each
+        # device's slab keeps the model's downscale divisibility
+        quantum = n * total_downscale(model, spatial_axis=0)
+        n_ext = ext.shape[1]
+        target = int(np.ceil(n_ext / quantum) * quantum)
+        tail = target - n_ext
+        if tail:
+            ext = np.pad(ext, [(0, 0), (0, tail)] + [(0, 0)] * (volume.ndim - 2),
+                         mode="reflect")
+        pred = halo_sharded_predict(model, ext, mesh, halo=halo,
+                                    axis_name=axis_name, variables=variables)
+        pred = pred[:, halo:halo + (b - a)]
+        if out is None:
+            out = np.empty((pred.shape[0], s0) + pred.shape[2:], dtype=pred.dtype)
+        out[:, a:b] = pred
+    return out
