@@ -90,3 +90,34 @@ class TestViMUNet:
         model = get_vimunet_model(out_channels=1, model_type="vim_t", img_size=64)
         out = model(np.random.rand(1, 1, 64, 64).astype("float32"))
         assert out.shape == (1, 1, 64, 64)
+
+
+class TestVimCheckpointLoading:
+    def test_load_native_checkpoint_and_reject_pth(self, tmp_path):
+        import numpy as np
+        from flax import serialization as flax_serialization
+
+        import pytest as _pytest
+
+        from torch_em_tpu.models import get_vimunet_model
+        from torch_em_tpu.models.vim import load_vim_weights
+
+        model = get_vimunet_model(out_channels=1, model_type="vim_t", img_size=64, depth=2)
+        # write a native-style checkpoint carrying model_state
+        import jax
+
+        state = flax_serialization.to_state_dict(jax.device_get(model.variables))
+        ckpt = tmp_path / "latest.ckpt"
+        with open(ckpt, "wb") as f:
+            f.write(flax_serialization.msgpack_serialize({"model_state": state}))
+
+        # loading through the factory reproduces the weights
+        model2 = get_vimunet_model(out_channels=1, model_type="vim_t", img_size=64,
+                                   depth=2, checkpoint=str(ckpt), seed=7)
+        a = jax.tree_util.tree_leaves(model.variables)
+        b = jax.tree_util.tree_leaves(model2.variables)
+        assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+        # hustvl .pth checkpoints are rejected with a clear error
+        with _pytest.raises(NotImplementedError):
+            load_vim_weights(jax.device_get(model.variables), "/nonexistent/vim_t.pth")

@@ -18,7 +18,36 @@ import numpy as np
 from .base import Model, get_activation
 from .unet import ConvBlock, Upsampler
 
-__all__ = ["MambaBlock", "ViM", "get_vim_encoder", "get_vimunet_model", "VIM_CONFIGS"]
+__all__ = ["MambaBlock", "ViM", "get_vim_encoder", "get_vimunet_model", "VIM_CONFIGS",
+           "load_vim_weights"]
+
+
+def load_vim_weights(variables, checkpoint_path: str):
+    """Load pretrained weights into a ViM-UNet.
+
+    Supported: checkpoints written by this framework's ``DefaultTrainer``
+    (``.ckpt`` msgpack files carrying ``model_state``) — the analog of the
+    reference's torch_em branch (reference vim.py:248).
+
+    hustvl/Vim ``.pth`` checkpoints are rejected: their bimamba-v2 mixer
+    (separate backward-direction conv/x_proj/dt_proj/A/D parameters, dt-rank
+    projection, RMSNorm, middle cls token) is a different parameterization
+    than this TPU-native block (shared-direction parameters, scalar dt), so a
+    tensor-name conversion would not reproduce the source function — erring
+    is honest, silently loading a subset would not be (same policy as the
+    sam2/dinov2 encoders in models/vit.py).
+    """
+    from flax import serialization as flax_serialization
+
+    if checkpoint_path.endswith(".pth"):
+        raise NotImplementedError(
+            "hustvl/Vim checkpoints use the bimamba-v2 parameterization which this "
+            "native S6 block does not implement; conversion would not reproduce the "
+            "source model. Train natively or load a torch_em_tpu checkpoint (.ckpt).")
+    with open(checkpoint_path, "rb") as f:
+        save_dict = flax_serialization.msgpack_restore(f.read())
+    state = save_dict.get("model_state", save_dict)
+    return flax_serialization.from_state_dict(variables, state)
 
 
 def _selective_scan(u, delta, A, B, C, D):
@@ -250,4 +279,9 @@ def get_vimunet_model(
         in_channels=in_chans, out_channels=out_channels, seed=seed,
     )
     model.factory = "torch_em_tpu.models.vim.get_vimunet_model"
+    if checkpoint is not None:
+        import jax as _jax
+
+        variables = load_vim_weights(_jax.device_get(model.variables), checkpoint)
+        model.replace_variables(variables)
     return model
