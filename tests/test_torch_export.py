@@ -70,3 +70,37 @@ class TestTorchExport:
         assert arch == "torch_em.model.unet.UNet2d"
         loaded = torch.load(path, weights_only=True)
         assert "out_conv.weight" in loaded
+
+
+class TestAddWeightFormats:
+    def test_add_pytorch_state_dict_to_package(self, tmp_path):
+        """Build a minimal package by hand and add the torch weights entry."""
+        import json
+        import os
+
+        import yaml
+        from flax import serialization as flax_serialization
+
+        import jax
+
+        from torch_em_tpu.models import UNet2d
+        from torch_em_tpu.utils.modelzoo import add_weight_formats
+
+        model = UNet2d(in_channels=1, out_channels=1, initial_features=4, depth=2)
+        folder = str(tmp_path)
+        state = flax_serialization.to_state_dict(jax.device_get(model.variables))
+        with open(os.path.join(folder, "weights.msgpack"), "wb") as f:
+            f.write(flax_serialization.msgpack_serialize(state))
+        with open(os.path.join(folder, "model_manifest.json"), "w") as f:
+            json.dump({"factory": "torch_em_tpu.models.unet.UNet2d",
+                       "kwargs": model.init_kwargs}, f)
+        with open(os.path.join(folder, "rdf.yaml"), "w") as f:
+            yaml.safe_dump({"weights": {"jax": {"source": "weights.msgpack"}}}, f)
+
+        add_weight_formats(folder, ["pytorch_state_dict"])
+        assert os.path.exists(os.path.join(folder, "weights.pt"))
+        with open(os.path.join(folder, "rdf.yaml")) as f:
+            rdf = yaml.safe_load(f)
+        entry = rdf["weights"]["pytorch_state_dict"]
+        assert entry["source"] == "weights.pt"
+        assert entry["architecture"]["import_from"] == "torch_em.model.unet"

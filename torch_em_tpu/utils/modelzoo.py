@@ -404,14 +404,67 @@ def _load_normalizer(rdf):
 
 
 def convert_to_onnx(spec_path, opset_version=12):
-    """ONNX conversion is not supported for jax weights (reference :791)."""
-    raise NotImplementedError("ONNX conversion of jax weights is not implemented yet.")
+    """ONNX conversion is not supported for jax weights (reference :791);
+    torch-side consumers should use the 'pytorch_state_dict' weights entry
+    (see add_weight_formats) and convert with the reference tooling."""
+    raise NotImplementedError(
+        "ONNX conversion of jax weights is not implemented; export the "
+        "'pytorch_state_dict' weight format instead (add_weight_formats) and run the "
+        "torch-side ONNX conversion on it.")
+
+
+def _rebuild_model_from_package(folder):
+    import importlib
+
+    from flax import serialization as flax_serialization
+
+    with open(os.path.join(folder, "model_manifest.json")) as f:
+        manifest = json.load(f)
+    mod_name, fn_name = manifest["factory"].rsplit(".", 1)
+    factory = getattr(importlib.import_module(mod_name), fn_name)
+    model = factory(**manifest["kwargs"])
+    with open(os.path.join(folder, "weights.msgpack"), "rb") as f:
+        state = flax_serialization.msgpack_restore(f.read())
+    variables = flax_serialization.from_state_dict(model.variables, state)
+    model.replace_variables(variables)
+    return model
 
 
 def add_weight_formats(model_path, additional_formats):
-    """Additional weight formats (reference :820); only 'jax' is native."""
+    """Add weight formats to an exported package (reference modelzoo.py:820).
+
+    'jax' is native; 'pytorch_state_dict' / 'pytorch' rebuilds the model from
+    the package and emits reference-loadable torch weights + rdf entry.
+    """
+    folder = model_path if os.path.isdir(model_path) else os.path.dirname(model_path)
     for fmt in additional_formats:
-        if fmt != "jax":
+        if fmt == "jax":
+            continue
+        if fmt in ("pytorch_state_dict", "pytorch", "torch"):
+            import yaml
+
+            model = _rebuild_model_from_package(folder)
+            weights_path, arch = _write_torch_weights(model, folder)
+            if weights_path is None:
+                raise NotImplementedError(
+                    f"pytorch_state_dict export is only available for the UNet family, "
+                    f"not {getattr(model, 'factory', type(model))}.")
+            rdf_path = os.path.join(folder, "rdf.yaml")
+            with open(rdf_path) as f:
+                rdf = yaml.safe_load(f)
+            with open(os.path.join(folder, "model_manifest.json")) as f:
+                kwargs = json.load(f)["kwargs"]
+            rdf.setdefault("weights", {})["pytorch_state_dict"] = {
+                "source": os.path.basename(weights_path),
+                "architecture": {
+                    "callable": arch.rsplit(".", 1)[-1],
+                    "import_from": arch.rsplit(".", 1)[0],
+                    "kwargs": kwargs,
+                },
+            }
+            with open(rdf_path, "w") as f:
+                yaml.safe_dump(rdf, f)
+        else:
             raise NotImplementedError(f"Weight format {fmt} is not supported for jax models yet.")
 
 
