@@ -16,6 +16,14 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache: repeated bench runs (and the driver's
+    # round-end run) skip the multi-minute XLA compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from torch_em_tpu.loss import DiceLoss
@@ -63,18 +71,20 @@ def main():
     # lowering executes 4x the nominal conv FLOPs (trading them for MXU
     # utilization), so cost-analyze a lowering with packing disabled.
     def nominal_flops():
-        from torch_em_tpu.models import unet as unet_mod
+        from torch_em_tpu.models.unet import perf_options
 
         def train_step_nominal(variables, opt_state, x, y):
             return train_step(variables, opt_state, x, y)
 
-        unet_mod.W4_PACKING = False
-        try:
-            cost = jax.jit(train_step_nominal).lower(
-                variables, opt_state, x, y).compile().cost_analysis()
+        with perf_options(packing=False):
+            lowered = jax.jit(train_step_nominal).lower(variables, opt_state, x, y)
+            # cost analysis of the unoptimized HLO = nominal model FLOPs,
+            # no backend compile needed
+            try:
+                cost = lowered.cost_analysis()
+            except Exception:
+                cost = lowered.compile().cost_analysis()
             return float(cost.get("flops", 0.0)) if cost else 0.0
-        finally:
-            unet_mod.W4_PACKING = True
 
     try:
         flops_per_step = nominal_flops()
@@ -120,25 +130,26 @@ def main():
             f.create_dataset("labels",
                              data=rng.integers(1, 500, (64, 512, 512)).astype("uint32"),
                              chunks=(32, 128, 128))
+        n_loader_steps = 8
         ds = SegmentationDataset(
             h5_path, "raw", h5_path, "labels", patch_shape=patch,
             label_transform=AffinityTransform(offsets=[[-1, 0, 0]], add_mask=False),
-            label_dtype="float32", n_samples=4 * (n_warmup + n_steps),
+            label_dtype="float32", n_samples=2 * (2 + n_loader_steps),
         )
         loader = TemLoader(ds, batch_size=batch_size, shuffle=True, num_workers=2)
         it = iter(loader)
-        for _ in range(n_warmup):
+        for _ in range(2):
             xb, yb = next(it)
             variables, opt_state, loss = step(
                 variables, opt_state, jax.device_put(xb, device), jax.device_put(yb, device))
         jax.block_until_ready(loss)
         t0 = time.perf_counter()
-        for _ in range(n_steps):
+        for _ in range(n_loader_steps):
             xb, yb = next(it)
             variables, opt_state, loss = step(
                 variables, opt_state, jax.device_put(xb, device), jax.device_put(yb, device))
         jax.block_until_ready(loss)
-        loader_patches_per_sec = n_steps * batch_size / (time.perf_counter() - t0)
+        loader_patches_per_sec = n_loader_steps * batch_size / (time.perf_counter() - t0)
         shutil.rmtree(tmpdir, ignore_errors=True)
     except Exception:
         pass

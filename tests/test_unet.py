@@ -147,3 +147,57 @@ class TestPackedExecution:
 def float_sum(t):
     import jax.numpy as jnp
     return jnp.sum(jnp.sin(t))
+
+
+class TestPerfOptions:
+    def test_context_manager_restores(self):
+        from torch_em_tpu.models import unet as um
+        from torch_em_tpu.models.unet import perf_options
+
+        before = (um.W4_PACKING, um.PALLAS_NORM, um.PACKED_CONV_MODE)
+        with perf_options(packing=False, pallas_norm=False, packed_conv_mode="core"):
+            assert um.W4_PACKING is False
+            assert um.PALLAS_NORM is False
+            assert um.PACKED_CONV_MODE == "core"
+        assert (um.W4_PACKING, um.PALLAS_NORM, um.PACKED_CONV_MODE) == before
+
+    def test_packed_conv_modes_equivalent(self):
+        import jax
+        import jax.numpy as jnp
+
+        from torch_em_tpu.models import unet as um
+
+        rng = np.random.default_rng(5)
+        for p in (2, 4):
+            ci, co = 8, 8
+            x = jnp.asarray(rng.standard_normal((1, 8, 16, ci)).astype("float32"))
+            k = jnp.asarray(rng.standard_normal((3, 3, ci, co)).astype("float32") * 0.1)
+            xp = x.reshape(1, 8, 16 // p, p * ci)
+            with um.perf_options(packed_conv_mode="dense3"):
+                yd = um._conv_packed(xp, k, p)
+            with um.perf_options(packed_conv_mode="core"):
+                yc = um._conv_packed(xp, k, p)
+            np.testing.assert_allclose(np.asarray(yd), np.asarray(yc), atol=1e-4)
+            # both match the plain conv
+            ref = jax.lax.conv_general_dilated(
+                x, k, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            np.testing.assert_allclose(np.asarray(yd).reshape(1, 8, 16, co),
+                                       np.asarray(ref), atol=1e-4)
+
+    def test_resize2x_custom_vjp_matches_ad(self):
+        import jax
+        import jax.numpy as jnp
+
+        from torch_em_tpu.models.unet import _resize2x_linear
+
+        x = jnp.asarray(np.random.default_rng(0).random((2, 9, 6, 3)).astype("float32"))
+        for factor in ((2, 2), (1, 2)):
+            ref_fn = lambda a: jax.image.resize(
+                a, (a.shape[0], a.shape[1] * factor[0], a.shape[2] * factor[1], a.shape[3]),
+                "linear")
+            g = jnp.asarray(np.random.default_rng(1).random(
+                (2, 9 * factor[0], 6 * factor[1], 3)).astype("float32"))
+            _, vjp_ref = jax.vjp(ref_fn, x)
+            _, vjp_new = jax.vjp(lambda a: _resize2x_linear(a, factor), x)
+            np.testing.assert_allclose(np.asarray(vjp_new(g)[0]), np.asarray(vjp_ref(g)[0]),
+                                       atol=1e-5)

@@ -213,6 +213,44 @@ def _max_pool_reshape(x, window):
 W4_PACKING = True
 
 
+class perf_options:
+    """Config surface for the UNet perf switches (width packing, Pallas norm,
+    packed-conv lowering). Usable as a setter or a context manager::
+
+        from torch_em_tpu.models.unet import perf_options
+        perf_options(packing=False)             # set globally
+        with perf_options(pallas_norm=False):   # scoped override
+            ...
+
+    These switches select exactly-equivalent lowerings (numerics covered by
+    TestPackedExecution); they are module-global because they change how
+    modules TRACE — toggling them invalidates jit caches, so they must be set
+    before compilation, not per-call.
+    """
+
+    _FLAGS = {"packing": "W4_PACKING", "pallas_norm": "PALLAS_NORM",
+              "packed_conv_mode": "PACKED_CONV_MODE"}
+
+    def __init__(self, packing=None, pallas_norm=None, packed_conv_mode=None):
+        g = globals()
+        self._saved = {}
+        for arg, name in self._FLAGS.items():
+            value = {"packing": packing, "pallas_norm": pallas_norm,
+                     "packed_conv_mode": packed_conv_mode}[arg]
+            if value is not None:
+                self._saved[name] = g[name]
+                g[name] = value
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        g = globals()
+        for name, value in self._saved.items():
+            g[name] = value
+        return False
+
+
 def _expand_kernel_wp(w, p):
     """Expand a 3x3 conv kernel (3, 3, Ci, Co) to the exactly-equivalent
     block-space kernel (3, 3, p*Ci, p*Co) operating on width-packed tensors
@@ -811,13 +849,90 @@ def _upsample2x_linear_axis(x, axis):
     return (0.75 * z + 0.25 * neighbor).astype(x.dtype)
 
 
+def _downsample2x_transpose_axis(g, axis):
+    """Transpose of the 2x-linear upsample along ``axis``:
+    gx[i] = 0.75*(g[2i] + g[2i+1]) + 0.25*(g[2i-1] + g[2i+2]) with the
+    edge-clamp extras gx[0] += 0.25*g[0] and gx[-1] += 0.25*g[-1]."""
+    sl = [slice(None)] * g.ndim
+
+    def take(s):
+        sli = list(sl)
+        sli[axis] = s
+        return g[tuple(sli)]
+
+    ge = take(slice(0, None, 2))   # g[2i]
+    go = take(slice(1, None, 2))   # g[2i+1]
+    core = 0.75 * (ge + go)
+
+    pad_lead = [(0, 0)] * g.ndim
+    pad_lead[axis] = (1, 0)
+    pad_trail = [(0, 0)] * g.ndim
+    pad_trail[axis] = (0, 1)
+    n = ge.shape[axis]
+    sli = list(sl)
+    sli[axis] = slice(0, n)
+    # g[2i-1] = go[i-1] (0 for i=0) + edge extra 0.25*g[0] folded as go[-1]->ge[0]
+    prev_go = jnp.pad(go, pad_lead)[tuple(sli)]
+    sli2 = list(sl)
+    sli2[axis] = slice(1, n + 1)
+    # g[2i+2] = ge[i+1] (0 for i=n-1) + edge extra folded below
+    next_ge = jnp.pad(ge, pad_trail)[tuple(sli2)]
+    out = core + 0.25 * (prev_go + next_ge)
+
+    # edge extras: first even output re-hits x[0]; last odd output re-hits x[-1]
+    first = [slice(None)] * g.ndim
+    first[axis] = slice(0, 1)
+    last = [slice(None)] * g.ndim
+    last[axis] = slice(n - 1, n)
+    glast = [slice(None)] * g.ndim
+    glast[axis] = slice(g.shape[axis] - 1, g.shape[axis])
+    pad_first = [(0, 0)] * g.ndim
+    pad_first[axis] = (0, n - 1)
+    pad_last = [(0, 0)] * g.ndim
+    pad_last[axis] = (n - 1, 0)
+    out = out + jnp.pad(0.25 * ge[tuple(first)], pad_first) \
+              + jnp.pad(0.25 * g[tuple(glast)], pad_last)
+    return out.astype(g.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _resize2x_linear(x, factor):
+    """2x/1x per-axis linear upsampling of (N, *spatial, C).
+
+    Forward = jax.image.resize (lowers to efficient dot_generals); backward =
+    the hand-written transpose above — XLA's AD of resize emits the transposed
+    interpolation matmul at ~44 TF/s plus layout transposes (~1 ms/step on the
+    CREMI bench), while the transpose is a pure-bandwidth pairwise blend.
+    """
+    new_spatial = tuple(int(s * f) for s, f in zip(x.shape[1:-1], factor))
+    return jax.image.resize(x, (x.shape[0],) + new_spatial + (x.shape[-1],), method="linear")
+
+
+def _resize2x_fwd(x, factor):
+    return _resize2x_linear(x, factor), None
+
+
+def _resize2x_bwd(factor, _, g):
+    for ax, f in enumerate(factor):
+        if f == 2:
+            g = _downsample2x_transpose_axis(g, ax + 1)
+    return (g,)
+
+
+_resize2x_linear.defvjp(_resize2x_fwd, _resize2x_bwd)
+
+
 def _upsample(x, factor, mode):
     """Spatial upsampling of (N, *spatial, C) by per-axis integer factors.
 
     jax.image.resize lowers 2x-linear to per-axis dot_generals that profile
     ~20ms/step faster than the manual repeat+blend formulation
-    (_upsample2x_linear_axis) on the CREMI UNet3d step, so it is the default.
+    (_upsample2x_linear_axis) on the CREMI UNet3d step, so it is the default;
+    for the all-{1,2}-factor linear case the backward pass is replaced by a
+    hand-written transpose (see _resize2x_linear).
     """
+    if mode == "linear" and all(f in (1, 2) for f in factor):
+        return _resize2x_linear(x, tuple(int(f) for f in factor))
     new_spatial = tuple(int(s * f) for s, f in zip(x.shape[1:-1], factor))
     return jax.image.resize(x, (x.shape[0],) + new_spatial + (x.shape[-1],), method=mode)
 
