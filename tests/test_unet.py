@@ -201,3 +201,57 @@ class TestPerfOptions:
             _, vjp_new = jax.vjp(lambda a: _resize2x_linear(a, factor), x)
             np.testing.assert_allclose(np.asarray(vjp_new(g)[0]), np.asarray(vjp_ref(g)[0]),
                                        atol=1e-5)
+
+
+class TestInstanceNormTrackStats:
+    def test_torch_semantics(self):
+        """Matches torch InstanceNorm2d(affine=True, track_running_stats=True):
+        train normalizes per instance + accumulates running stats; eval uses them."""
+        torch = pytest.importorskip("torch")
+        import jax
+        import jax.numpy as jnp
+
+        from torch_em_tpu.models.unet import _InstanceNormTrackStats
+
+        C = 5
+        tn = torch.nn.InstanceNorm2d(C, affine=True, track_running_stats=True)
+        with torch.no_grad():
+            tn.weight.normal_()
+            tn.bias.normal_()
+
+        m = _InstanceNormTrackStats()
+        rng = np.random.default_rng(0)
+        x0 = rng.standard_normal((2, C, 12, 10)).astype("float32")
+        state = m.init(jax.random.PRNGKey(0), jnp.asarray(x0.transpose(0, 2, 3, 1)), train=True)
+        state["params"]["scale"] = jnp.asarray(tn.weight.detach().numpy())
+        state["params"]["bias"] = jnp.asarray(tn.bias.detach().numpy())
+
+        for i in range(3):
+            x = rng.standard_normal((2, C, 12, 10)).astype("float32") * (i + 1) + i
+            tn.train()
+            yt = tn(torch.from_numpy(x)).detach().numpy()
+            yj, upd = m.apply(state, jnp.asarray(x.transpose(0, 2, 3, 1)), train=True,
+                              mutable=["batch_stats"])
+            state = {"params": state["params"], **upd}
+            np.testing.assert_allclose(np.asarray(yj).transpose(0, 3, 1, 2), yt, atol=1e-5)
+
+        np.testing.assert_allclose(np.asarray(state["batch_stats"]["mean"]),
+                                   tn.running_mean.numpy(), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(state["batch_stats"]["var"]),
+                                   tn.running_var.numpy(), atol=1e-5)
+
+        tn.eval()
+        x = rng.standard_normal((2, C, 12, 10)).astype("float32")
+        yt = tn(torch.from_numpy(x)).detach().numpy()
+        yj = m.apply(state, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+        np.testing.assert_allclose(np.asarray(yj).transpose(0, 3, 1, 2), yt, atol=1e-5)
+
+    def test_unet_with_track_stats_trains(self):
+        from torch_em_tpu.models import UNet2d
+
+        model = UNet2d(in_channels=1, out_channels=1, initial_features=4, depth=2,
+                       norm="InstanceNormTrackStats")
+        x = np.random.rand(2, 1, 32, 32).astype("float32")
+        out = model(x)
+        assert np.asarray(out).shape == (2, 1, 32, 32)
+        assert "batch_stats" in model.variables

@@ -115,13 +115,49 @@ def _instance_norm(x, eps=1e-5, stat_groups=None):
     return _norm_core(x, 1, stat_groups, eps)
 
 
-class _NormLayer(nn.Module):
-    """Dispatches the reference's norm options (model/unet.py:391).
+class _InstanceNormTrackStats(nn.Module):
+    """Affine instance norm with running statistics — torch
+    ``InstanceNorm*d(affine=True, track_running_stats=True)`` semantics:
+    training normalizes per instance and accumulates per-channel running
+    mean/var (momentum 0.1, unbiased var); eval normalizes with the running
+    statistics. Stats live in the 'batch_stats' collection, which the trainer
+    threads through train steps and checkpoints."""
 
-    'InstanceNormTrackStats' uses affine instance normalization (running-stat
-    tracking is replaced by per-instance stats — a documented deviation; the
-    affine parameters are kept so checkpoints carry the same learnables).
-    """
+    epsilon: float = 1e-5
+    momentum: float = 0.1  # torch convention: new = (1 - m) * old + m * observed
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=spatial_axes, keepdims=True)          # (B, 1.., C)
+            var = jnp.mean(jnp.square(xf - mean), axis=spatial_axes, keepdims=True)
+            xhat = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+            if not self.is_initializing():
+                n = float(np.prod([x.shape[a] for a in spatial_axes]))
+                unbiased = jnp.mean(var, axis=0).reshape(c) * (n / max(n - 1.0, 1.0))
+                obs_mean = jnp.mean(mean, axis=0).reshape(c)
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * jax.lax.stop_gradient(obs_mean))
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * jax.lax.stop_gradient(unbiased))
+        else:
+            shape = (1,) * (x.ndim - 1) + (c,)
+            xhat = ((x.astype(jnp.float32) - ra_mean.value.reshape(shape))
+                    * jax.lax.rsqrt(ra_var.value.reshape(shape) + self.epsilon))
+        return (scale * xhat + bias).astype(x.dtype)
+
+
+class _NormLayer(nn.Module):
+    """Dispatches the reference's norm options (model/unet.py:391)."""
 
     norm: Optional[str]
     stat_groups: Optional[int] = None  # 2.5D mode: groups sharing statistics
@@ -134,7 +170,7 @@ class _NormLayer(nn.Module):
         if self.norm == "InstanceNorm":
             return _instance_norm(x, stat_groups=self.stat_groups)
         if self.norm == "InstanceNormTrackStats":
-            return nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5, dtype=self.dtype)(x)
+            return _InstanceNormTrackStats(dtype=self.dtype)(x, train=train)
         if self.norm == "GroupNorm":
             return nn.GroupNorm(num_groups=min(32, x.shape[-1]), epsilon=1e-5, dtype=self.dtype)(x)
         if self.norm == "BatchNorm":
