@@ -122,3 +122,46 @@ class TestHaloAutoDerivation:
         h_z = receptive_field_halo(model, spatial_axis=0)
         h_xy = receptive_field_halo(model, spatial_axis=1)
         assert h_z < h_xy  # z is downscaled less -> smaller receptive field
+
+
+class TestSpatialShardedTraining:
+    def test_gradients_match_unsharded(self):
+        """The spatially-sharded train step must follow the same loss surface
+        as an unsharded step on the full volume (away from border effects the
+        halo makes the forwards identical; the reflect borders differ from
+        the unsharded conv zero-padding only within the receptive field of
+        the volume edge, so losses/grads agree approximately)."""
+        import jax
+        import jax.numpy as jnp
+
+        from torch_em_tpu.loss import DiceLoss
+        from torch_em_tpu.parallel.halo import spatial_sharded_train_step
+        from torch_em_tpu.trainer.optimizers import OptimizerSpec
+
+        mesh = get_mesh(n_devices=4, axis_names=("space",))
+        model = UNet2d(in_channels=1, out_channels=1, depth=2, initial_features=4,
+                       norm=None, final_activation="Sigmoid")
+        loss_obj = DiceLoss()
+        tx = OptimizerSpec("adamw", lr=1e-3).build()
+
+        step, shard_batch = spatial_sharded_train_step(model, loss_obj, tx, mesh)
+        x = np.random.rand(1, 1, 256, 64).astype("float32")
+        y = (np.random.rand(1, 1, 256, 64) > 0.5).astype("float32")
+        xs, ys = shard_batch(x, y)
+
+        # unsharded reference loss on the same batch (before donation)
+        pred = model.module.apply({"params": model.variables["params"]},
+                                  jnp.asarray(x), train=True)
+        loss_ref = float(loss_obj(pred, jnp.asarray(y)))
+        before = [np.asarray(v).copy()
+                  for v in jax.tree_util.tree_leaves(model.variables["params"])]
+
+        variables = jax.device_put(jax.device_get(model.variables))
+        opt_state = tx.init(variables["params"])
+        new_vars, new_opt, loss = step(variables, opt_state, xs, ys)
+        loss_sharded = float(loss)
+
+        assert abs(loss_sharded - loss_ref) < 5e-3, (loss_sharded, loss_ref)
+        # the step made progress (params changed)
+        after = jax.tree_util.tree_leaves(new_vars["params"])
+        assert not np.allclose(before[0], np.asarray(after[0]))

@@ -32,7 +32,8 @@ try:
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["halo_sharded_predict", "halo_sharded_predict_large", "receptive_field_halo"]
+__all__ = ["halo_sharded_predict", "halo_sharded_predict_large", "receptive_field_halo",
+           "spatial_sharded_train_step"]
 
 
 def _axis_scale_factors(model, spatial_axis: int) -> Sequence[int]:
@@ -188,3 +189,67 @@ def halo_sharded_predict_large(
             out = np.empty((pred.shape[0], s0) + pred.shape[2:], dtype=pred.dtype)
         out[:, a:b] = pred
     return out
+
+
+def spatial_sharded_train_step(model, loss_obj, tx, mesh, halo: Optional[int] = None,
+                               axis_name: str = "space"):
+    """Training-time spatial sharding: build a jitted train step whose batch
+    is sharded along one *spatial* axis of the input across the mesh, with
+    halo exchange before the forward — for 3D volumes whose activations do
+    not fit one chip's HBM.
+
+    x, y: (B, C, S0, *rest) with S0 sharded. Each device runs the network on
+    its slab + exchanged halo, crops the halo, computes the local loss sum
+    and count; psum makes the loss (and therefore the gradients, via AD
+    through shard_map) globally consistent. Parameters are replicated;
+    gradients arrive all-reduced.
+
+    Returns ``(step, shard_batch)``: ``step(variables, opt_state, x, y)`` and
+    a helper placing host batches with the right shardings.
+    """
+    n = mesh.shape[axis_name]
+    if halo is None:
+        halo = receptive_field_halo(model, spatial_axis=0)
+    module = model.module
+
+    def local_forward(vars_, local):
+        # local: (B, C, s, *rest) — exchange halo along the spatial axis (2)
+        idx = jax.lax.axis_index(axis_name)
+        top = local[:, :, :halo]
+        bottom = local[:, :, -halo:]
+        from_prev = jax.lax.ppermute(bottom, axis_name, [(i, i + 1) for i in range(n - 1)])
+        from_next = jax.lax.ppermute(top, axis_name, [(i + 1, i) for i in range(n - 1)])
+        from_prev = jnp.where(idx == 0, local[:, :, 1:halo + 1][:, :, ::-1], from_prev)
+        from_next = jnp.where(idx == n - 1, local[:, :, -halo - 1:-1][:, :, ::-1], from_next)
+        extended = jnp.concatenate([from_prev, local, from_next], axis=2)
+        pred = module.apply(vars_, extended, train=True)
+        if isinstance(pred, (list, tuple)):
+            pred = pred[0]
+        return pred[:, :, halo:-halo]
+
+    spec_x = P(None, None, axis_name)
+
+    def sharded_loss(params, x, y):
+        def local_fn(p, xl, yl):
+            pred = local_forward({"params": p}, xl)
+            local = loss_obj(pred, yl)
+            # average the per-shard losses (equal-size shards)
+            return jax.lax.pmean(local, axis_name)
+
+        fn = shard_map(local_fn, mesh=mesh, in_specs=(P(), spec_x, spec_x),
+                       out_specs=P())
+        return fn(params, x, y)
+
+    def train_step(variables, opt_state, x, y):
+        loss, grads = jax.value_and_grad(sharded_loss)(variables["params"], x, y)
+        updates, opt_state = tx.update(grads, opt_state, variables["params"])
+        params = jax.tree_util.tree_map(lambda p, u: p + u, variables["params"], updates)
+        return {"params": params}, opt_state, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    def shard_batch(x, y):
+        sh = NamedSharding(mesh, spec_x)
+        return jax.device_put(jnp.asarray(x), sh), jax.device_put(jnp.asarray(y), sh)
+
+    return step, shard_batch
