@@ -234,3 +234,67 @@ class TestElasticParity:
         inside, outside = wr > 0.9, wr < 0.1
         assert (wl[inside] == 1).mean() > 0.98
         assert (wl[outside] == 0).mean() > 0.98
+
+
+class TestDeviceLabelTransforms:
+    """Device-side batched label transforms match the host transforms
+    element-wise (ops/device.py vs transforms/label.py)."""
+
+    def test_affinity_matches_host(self):
+        from torch_em_tpu.ops.device import DeviceAffinityTransform
+        from torch_em_tpu.transforms.label import AffinityTransform
+
+        rng = np.random.default_rng(0)
+        labels = rng.integers(0, 6, (2, 16, 18)).astype("uint32")
+        offsets = [[-1, 0], [0, -1], [-3, 0]]
+        for add_binary, add_mask, ignore in [(False, False, None), (True, True, None),
+                                             (True, True, 0)]:
+            host = AffinityTransform(offsets=offsets, add_binary_target=add_binary,
+                                     add_mask=add_mask, ignore_label=ignore)
+            expected = np.stack([host(lab) for lab in labels])
+            dev = DeviceAffinityTransform(offsets=offsets, add_binary_target=add_binary,
+                                          add_mask=add_mask, ignore_label=ignore)
+            got = np.asarray(dev(labels[:, None]))
+            np.testing.assert_allclose(got, expected, atol=1e-6,
+                                       err_msg=f"bin={add_binary} mask={add_mask} ign={ignore}")
+
+    def test_boundary_matches_host(self):
+        from torch_em_tpu.ops.device import DeviceBoundaryTransform
+        from torch_em_tpu.transforms.label import BoundaryTransform
+
+        rng = np.random.default_rng(1)
+        labels = rng.integers(0, 5, (2, 20, 17)).astype("uint32")
+        for add_binary in (False, True):
+            host = BoundaryTransform(mode="thick", add_binary_target=add_binary, ndim=2)
+            expected = np.stack([host(lab) for lab in labels]).astype("float32")
+            dev = DeviceBoundaryTransform(add_binary_target=add_binary, ndim=2)
+            got = np.asarray(dev(labels[:, None]))
+            np.testing.assert_allclose(got, expected, atol=1e-6)
+
+    def test_trainer_integration(self, tmp_path, monkeypatch):
+        import h5py
+
+        import torch_em_tpu as tem
+        from torch_em_tpu.models import UNet2d
+        from torch_em_tpu.ops.device import DeviceBoundaryTransform
+        from torch_em_tpu.trainer import DefaultTrainer
+
+        monkeypatch.chdir(tmp_path)
+        p = str(tmp_path / "d.h5")
+        with h5py.File(p, "w") as f:
+            f.create_dataset("raw", data=np.random.rand(8, 32, 32).astype("float32"))
+            f.create_dataset("labels", data=np.random.randint(0, 4, (8, 32, 32)))
+        # loader ships RAW labels; the device derives fg+boundary targets
+        loader = tem.default_segmentation_loader(
+            p, "raw", p, "labels", batch_size=2, patch_shape=(1, 32, 32), ndim=2,
+            label_dtype="int32")
+        model = UNet2d(in_channels=1, out_channels=2, initial_features=4, depth=2,
+                       final_activation="Sigmoid")
+        trainer = tem.default_segmentation_trainer(
+            "device-lt", model, loader, loader, logger=None, device="cpu",
+            trainer_class=lambda **kw: DefaultTrainer(
+                device_label_transform=DeviceBoundaryTransform(add_binary_target=True, ndim=2),
+                **kw),
+        )
+        trainer.fit(iterations=2)
+        assert trainer.iteration == 2

@@ -97,6 +97,7 @@ class DefaultTrainer:
         compile_model: Optional[Union[bool, str]] = None,
         rank: Optional[int] = None,
         seed: int = 42,
+        device_label_transform=None,
     ):
         from .wandb_logger import WandbLogger
 
@@ -120,6 +121,11 @@ class DefaultTrainer:
         self.compile_model = compile_model
         self.rank = rank
         self.seed = seed
+        # jittable batched label transform applied to y INSIDE the train/val
+        # steps (e.g. ops.device.DeviceAffinityTransform): the loader ships
+        # raw labels and the device derives the targets — removes GIL-bound
+        # host label transforms from the data path (SURVEY hard part #2)
+        self.device_label_transform = device_label_transform
 
         self._iteration = 0
         self._epoch = 0
@@ -150,6 +156,7 @@ class DefaultTrainer:
             "mixed_precision": mixed_precision, "early_stopping": early_stopping,
             "logger": logger, "logger_kwargs": logger_kwargs, "id_": id_, "save_root": save_root,
             "compile_model": compile_model, "seed": seed,
+            "device_label_transform": device_label_transform,
         }
         # subclasses with **kwargs must populate self._kwargs (reference :483-491)
         self._kwargs = getattr(self, "_kwargs", {})
@@ -178,6 +185,8 @@ class DefaultTrainer:
         return module
 
     def _compute_loss(self, module, variables, x, y, rng, train=True):
+        if self.device_label_transform is not None:
+            y = self.device_label_transform(y)
         state = {k: v for k, v in variables.items() if k != "params"}
         mutable = list(state.keys()) if (train and state) else False
         rngs = {"dropout": rng} if rng is not None else None
@@ -212,7 +221,8 @@ class DefaultTrainer:
         def val_step(variables, x, y):
             loss, (pred, _) = self._compute_loss(module, variables, x, y, None, train=False)
             if self.metric is not None and not getattr(self.metric, "host_metric", False):
-                metric = self.metric(pred, y)
+                yt = y if self.device_label_transform is None else self.device_label_transform(y)
+                metric = self.metric(pred, yt)
             else:
                 metric = loss
             return loss, metric, pred
