@@ -1,0 +1,82 @@
+"""TPU-side CREMI-style parity run: this repo's AnisotropicUNet through the
+full pipeline (SegmentationDataset over h5 -> loader -> trainer) on the shared
+synthetic 3D data with boundary targets — the reference CREMI recipe shape.
+
+Run: python train_tpu3d.py -d ./parity_data3d -o ./parity_out3d [-n 600]
+"""
+
+import argparse
+import json
+import os
+
+import h5py
+import numpy as np
+
+import torch_em_tpu as torch_em
+from torch_em_tpu.models import AnisotropicUNet
+from torch_em_tpu.transforms.label import BoundaryTransform
+
+PATCH = (8, 64, 64)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-d", "--data", default="./parity_data3d")
+    parser.add_argument("-o", "--output", default="./parity_out3d")
+    parser.add_argument("-n", "--n-iterations", type=int, default=600)
+    parser.add_argument("--batch-size", type=int, default=1)
+    args = parser.parse_args()
+    os.makedirs(args.output, exist_ok=True)
+
+    from glob import glob
+
+    trafo = BoundaryTransform(mode="thick", ndim=3)
+    train_paths = sorted(glob(os.path.join(args.data, "train", "vol*.h5")))
+    val_paths = sorted(glob(os.path.join(args.data, "val", "vol*.h5")))
+
+    train_loader = torch_em.default_segmentation_loader(
+        train_paths, "raw", train_paths, "labels", batch_size=args.batch_size,
+        patch_shape=PATCH, ndim=3, label_transform=trafo, label_dtype="float32",
+        n_samples=50 * args.batch_size,
+    )
+    val_loader = torch_em.default_segmentation_loader(
+        val_paths, "raw", val_paths, "labels", batch_size=args.batch_size,
+        patch_shape=PATCH, ndim=3, label_transform=trafo, label_dtype="float32",
+        n_samples=8,
+    )
+
+    model = AnisotropicUNet(in_channels=1, out_channels=1, initial_features=8,
+                            scale_factors=[[1, 2, 2], [2, 2, 2]], final_activation="Sigmoid")
+    trainer = torch_em.default_segmentation_trainer(
+        name="parity-cremi-tpu", model=model,
+        train_loader=train_loader, val_loader=val_loader,
+        learning_rate=1e-4, optimizer_kwargs={"weight_decay": 0.01},
+        save_root=args.output, logger=None,
+    )
+    trainer.fit(iterations=args.n_iterations)
+
+    trainer.load_checkpoint("best")
+    import jax
+
+    raw_va, tgt_va = [], []
+    for path in val_paths:
+        with h5py.File(path, "r") as f:
+            raw_va.append(f["raw"][:])
+            tgt_va.append(trafo(f["labels"][:]).astype("float32")[0])
+    raw_va, tgt_va = np.stack(raw_va), np.stack(tgt_va)
+    xv = raw_va[:, None, :PATCH[0], :PATCH[1], :PATCH[2]].astype("float32")
+
+    fwd = jax.jit(lambda v, x: trainer.model.module.apply({"params": v["params"]}, x, train=False))
+    preds = np.concatenate([np.asarray(fwd(trainer.variables, xv[i:i + 1]))
+                            for i in range(len(xv))])
+    with h5py.File(os.path.join(args.output, "tpu_preds3d.h5"), "w") as f:
+        f.create_dataset("preds", data=preds)
+    result = {"side": "torch_em_tpu", "best_val_metric": float(trainer.best_metric),
+              "iterations": int(trainer.iteration)}
+    with open(os.path.join(args.output, "tpu_result3d.json"), "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
