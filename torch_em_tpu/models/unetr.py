@@ -63,13 +63,17 @@ class UNETRModule(nn.Module):
     initial_features: int = 64
     depth: int = 3
     in_chans: int = 3
+    encoder_module: Optional[Any] = None  # plug a custom encoder (e.g. ViM)
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.encoder = get_vision_transformer(
-            backbone=self.backbone, model=self.encoder_name, img_size=self.img_size,
-            in_chans=self.in_chans, dtype=self.dtype,
-        )
+        if self.encoder_module is not None:
+            self.encoder = self.encoder_module
+        else:
+            self.encoder = get_vision_transformer(
+                backbone=self.backbone, model=self.encoder_name, img_size=self.img_size,
+                in_chans=self.in_chans, dtype=self.dtype,
+            )
         gain = 2
         feats = [self.initial_features * gain ** i for i in range(self.depth + 1)][::-1]
         self.features_decoder = feats

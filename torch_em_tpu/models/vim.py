@@ -185,63 +185,6 @@ def get_vim_encoder(model_type: str = "vim_t", with_cls_token: bool = True,
     return ViM(img_size=img_size, in_chans=in_chans, dtype=dtype, **cfg)
 
 
-class _ViMUNetModule(nn.Module):
-    """UNETR-style decoder over a ViM encoder (reference vim.py:231)."""
-
-    model_type: str = "vim_t"
-    img_size: int = 1024
-    out_channels: int = 1
-    in_chans: int = 3
-    initial_features: int = 64
-    depth: int = 3
-    final_activation: Optional[str] = None
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        cfg = dict(VIM_CONFIGS[self.model_type])
-        encoder = ViM(img_size=self.img_size, in_chans=self.in_chans, dtype=self.dtype,
-                      name="encoder", **cfg)
-        if x.shape[1] == 1 and self.in_chans == 3:
-            x = jnp.repeat(x, 3, axis=1)
-        original_shape = x.shape[-2:]
-
-        z12, from_encoder = encoder(x, train=train)
-
-        gain = 2
-        feats = [self.initial_features * gain ** i for i in range(self.depth + 1)][::-1]
-
-        def to_last(t):
-            return jnp.transpose(t, (0, 2, 3, 1)).astype(self.dtype)
-
-        from_encoder = from_encoder[::-1]
-        z9 = _deconv_chain(self, "z9", [feats[0]], to_last(from_encoder[0]), train, self.dtype)
-        z6 = _deconv_chain(self, "z6", feats[:2], to_last(from_encoder[1]), train, self.dtype)
-        z3 = _deconv_chain(self, "z3", feats[:3], to_last(from_encoder[2]), train, self.dtype)
-        z0 = ConvBlock(feats[-1], dim=2, dtype=self.dtype, name="deconv4")(to_last(x), train=train)
-
-        h = ConvBlock(feats[0], dim=2, dtype=self.dtype, name="base")(to_last(z12), train=train)
-        for i, (f, skip) in enumerate(zip(feats[1:], [z9, z6, z3])):
-            h = Upsampler(f, scale_factor=2, dim=2, dtype=self.dtype, name=f"sampler{i}")(h, train=train)
-            h = jnp.concatenate([h, skip], axis=-1)
-            h = ConvBlock(f, dim=2, dtype=self.dtype, name=f"decoder{i}")(h, train=train)
-
-        h = Upsampler(feats[-1], scale_factor=2, dim=2, dtype=self.dtype, name="deconv_out")(h, train=train)
-        if z0.shape[1:3] != h.shape[1:3]:
-            z0 = jax.image.resize(z0, h.shape[:3] + (z0.shape[-1],), method="bilinear")
-        h = jnp.concatenate([h, z0], axis=-1)
-        h = ConvBlock(feats[-1], dim=2, dtype=self.dtype, name="decoder_head")(h, train=train)
-        h = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="out_conv")(h)
-        out = jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
-
-        activation = get_activation(self.final_activation)
-        if activation is not None:
-            out = activation(out)
-        if out.shape[-2:] != tuple(original_shape):
-            out = jax.image.resize(out, out.shape[:2] + tuple(original_shape), method="bilinear")
-        return out
-
-
 def _deconv_chain(parent, prefix, feature_list, h, train, dtype):
     # constructed inside the parent's compact context, so registration is automatic
     for i, f in enumerate(feature_list):
@@ -257,16 +200,26 @@ def get_vimunet_model(
     with_cls_token: bool = True,
     checkpoint: Optional[str] = None,
     in_chans: int = 3,
-    final_activation: Optional[str] = None,
+    final_activation: Optional[str] = "Sigmoid",
     dtype=jnp.float32,
     seed: int = 0,
     **kwargs,
 ) -> Model:
-    """Build a ViM-UNet (reference vim.py:231)."""
-    module = _ViMUNetModule(
-        model_type=model_type, img_size=img_size, out_channels=out_channels, in_chans=in_chans,
+    """Build a ViM-UNet (reference vim.py:231): the ViM encoder plugged into
+    the UNETR decoder with ``use_skip_connection=False`` and
+    ``resize_input=False`` — exactly the reference's wiring (it constructs
+    ``UNETR(encoder=encoder, resize_input=False, use_skip_connection=False,
+    final_activation="Sigmoid")``)."""
+    from .unetr import UNETRModule
+
+    cfg = dict(VIM_CONFIGS[model_type])
+    encoder = ViM(img_size=img_size, in_chans=in_chans, dtype=dtype, **cfg)
+    decoder_kwargs = {k: kwargs[k] for k in ("initial_features", "depth") if k in kwargs}
+    module = UNETRModule(
+        img_size=img_size, out_channels=out_channels, in_chans=in_chans,
+        resize_input=False, use_skip_connection=False,
         final_activation=final_activation if isinstance(final_activation, str) else None,
-        dtype=dtype,
+        encoder_module=encoder, dtype=dtype, **decoder_kwargs,
     )
     model = Model(
         module,
