@@ -255,3 +255,21 @@ class TestInstanceNormTrackStats:
         out = model(x)
         assert np.asarray(out).shape == (2, 1, 32, 32)
         assert "batch_stats" in model.variables
+
+    def test_shift2_packed_conv_equivalent(self):
+        import jax
+        import jax.numpy as jnp
+
+        from torch_em_tpu.models import unet as um
+
+        rng = np.random.default_rng(7)
+        for p in (2, 4):
+            ci, co = 8, 8
+            x = jnp.asarray(rng.standard_normal((1, 8, 16, ci)).astype("float32"))
+            k = jnp.asarray(rng.standard_normal((3, 3, ci, co)).astype("float32") * 0.1)
+            xp = x.reshape(1, 8, 16 // p, p * ci)
+            ref = jax.lax.conv_general_dilated(
+                x, k, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            with um.perf_options(packed_conv_mode="shift2"):
+                ys = um._conv_packed(xp, k, p).reshape(1, 8, 16, co)
+            np.testing.assert_allclose(np.asarray(ys), np.asarray(ref), atol=1e-5)

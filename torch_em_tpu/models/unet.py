@@ -406,12 +406,16 @@ def _conv2d_wp(x, kernel, p):
 
 
 # Packed-conv lowering: "dense3" (default) is the 3-block expanded kernel —
-# p x nominal FLOPs but a single dense MXU-saturating conv; "core" computes
-# the in-block taps as a 1-block-wide conv plus two tiny cross-block
-# correction convs — ~1/3 the executed FLOPs on paper, but measured 59%
-# SLOWER on the CREMI bench (78.5 vs 49.5 ms/step): XLA schedules the
-# narrow correction convs and their pads as separate low-utilization ops
-# and the split breaks the conv+norm fusions. Kept for reference.
+# p x nominal FLOPs but a single dense MXU-saturating conv consuming the
+# packed input IN PLACE. Both lower-FLOP alternatives measured SLOWER on the
+# CREMI bench (49.4 ms dense3 baseline):
+#  - "core": 1-block core conv + two tiny cross-block correction convs
+#    (~1/3 executed FLOPs on paper) -> 78.5 ms: the narrow corrections and
+#    their pads schedule as separate low-utilization ops and break fusions.
+#  - "shift2": re-pack the input one pixel late so the window fits a 2-block
+#    kernel (2p/3 x nominal, still one dense conv) -> 61.4 ms: the per-conv
+#    re-pack copy + the width-2 kernel's worse emitter schedule eat the win.
+# Executed-FLOP reduction does not pay on this emitter; dense3 stands.
 PACKED_CONV_MODE = "dense3"
 
 
@@ -462,10 +466,47 @@ def _conv_packed_core(x, kernel, p):
             + jnp.pad(yr, pad + [((p - 1) * co, 0)]))
 
 
+def _shift_kernel_wp(w, p):
+    """Expanded kernel for the SHIFTED width packing: with the input packed
+    one pixel late (block j covers pixels [p*j-1 .. p*j+p-2]), the 3-tap
+    window of every output block fits TWO input blocks — kernel
+    (kh, 2, p*Ci, p*Co), 2p/3 x nominal executed FLOPs instead of the
+    aligned 3-block kernel's p x. Mapping: tap kx of output position oj
+    reads shifted-input offset t = oj + kx, block t//p, within-block t%p."""
+    kh, kw, ci, co = w.shape
+    wp = jnp.zeros((kh, 2, p, ci, p, co), w.dtype)
+    for oj in range(p):
+        for kx in range(kw):
+            bj, dj = divmod(oj + kx, p)
+            wp = wp.at[:, bj, dj, :, oj, :].set(w[:, kx])
+    return wp.reshape(kh, 2, p * ci, p * co)
+
+
+def _conv_packed_shift2(x, kernel, p):
+    """Width-packed 3x3 conv via the shifted 2-block kernel (exact).
+
+    x arrives in standard packing; it is re-packed one pixel late (pad 1
+    left / p-1 right — one fused copy) so the conv needs only a width-2
+    block kernel: a single dense MXU conv at 2p/3 x nominal FLOPs (vs p x
+    for the aligned 3-block expansion)."""
+    kh = kernel.shape[0]
+    b, h, wb, pc = x.shape
+    c = pc // p
+    xs = jnp.pad(x.reshape(b, h, wb * p, c), ((0, 0), (0, 0), (1, p - 1), (0, 0)))
+    xs = xs.reshape(b, h, wb + 1, pc)
+    return jax.lax.conv_general_dilated(
+        xs, _shift_kernel_wp(kernel, p), (1, 1), [(kh // 2, kh // 2), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=x.dtype,
+    )
+
+
 def _conv_packed(x, kernel, p):
     """Conv on a width-packed tensor; dispatches on PACKED_CONV_MODE."""
-    if PACKED_CONV_MODE == "core" and kernel.shape[1] == 3:
-        return _conv_packed_core(x, kernel, p)
+    if kernel.shape[1] == 3:
+        if PACKED_CONV_MODE == "core":
+            return _conv_packed_core(x, kernel, p)
+        if PACKED_CONV_MODE == "shift2":
+            return _conv_packed_shift2(x, kernel, p)
     kh = kernel.shape[0]
     return jax.lax.conv_general_dilated(
         x, _expand_kernel_wp(kernel, p), (1, 1), [(kh // 2, kh // 2), (1, 1)],
