@@ -298,3 +298,10 @@ class TestDeviceLabelTransforms:
         )
         trainer.fit(iterations=2)
         assert trainer.iteration == 2
+
+        # the device transform serializes through the checkpoint manifest
+        from torch_em_tpu.trainer import DefaultTrainer as DT
+
+        restored = DT.from_checkpoint("./checkpoints/device-lt", name="latest", device="cpu")
+        assert restored.device_label_transform is not None
+        assert restored.device_label_transform.init_kwargs["add_binary_target"] is True
