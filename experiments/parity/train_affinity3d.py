@@ -81,10 +81,9 @@ def main():
             gt = f["labels"][:PATCH[0], :PATCH[1], :PATCH[2]].astype("uint64")
         pred = np.asarray(fwd(trainer.variables, raw[None, None]))[0]
         foreground, affs = pred[0], pred[1:]
-        # the net predicts disaffinities (1 = boundary); MWS expects attractive
-        # affinities for the short-range channels, so invert
+        # the native MWS consumes the training (disaffinity) convention directly
         seg = mutex_watershed_segmentation(
-            np.ones_like(foreground), 1.0 - affs, offsets=OFFSETS, min_size=10)
+            np.ones_like(foreground), affs, offsets=OFFSETS, min_size=10)
         vi_split, vi_merge = variation_of_information(seg, gt)
         ri, ari = rand_index(seg, gt)
         m = matching(seg, gt, threshold=0.5)
