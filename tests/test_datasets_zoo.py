@@ -204,3 +204,39 @@ class TestZooLayouts:
                                   sample="train")
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
+
+    def test_lucchi_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.lucchi import get_lucchi_loader
+
+        rng = np.random.default_rng(4)
+        with h5py.File(tmp_path / "lucchi_train.h5", "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("labels", data=(rng.random((8, 64, 64)) > 0.7).astype("uint8"))
+
+        loader = get_lucchi_loader(str(tmp_path), split="train", patch_shape=(4, 32, 32),
+                                   batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+
+    def test_microns_nuclei_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.microns_nuclei import (
+            get_microns_nuclei_loader,
+        )
+
+        rng = np.random.default_rng(5)
+        split_dir = tmp_path / "train"
+        split_dir.mkdir()
+        for i in range(2):
+            with h5py.File(split_dir / f"crop{i}.h5", "w") as f:
+                f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+                f.create_dataset("labels/nuclei",
+                                 data=rng.integers(0, 4, (8, 64, 64)).astype("uint32"))
+
+        loader = get_microns_nuclei_loader(str(tmp_path), split="train",
+                                           patch_shape=(4, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
