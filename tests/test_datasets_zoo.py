@@ -240,3 +240,33 @@ class TestZooLayouts:
                                            patch_shape=(4, 32, 32), batch_size=1)
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
+
+    def test_kasthuri_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.kasthuri import get_kasthuri_loader
+
+        rng = np.random.default_rng(6)
+        with h5py.File(tmp_path / "kasthuri_train.h5", "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("labels", data=(rng.random((8, 64, 64)) > 0.7).astype("int8"))
+        loader = get_kasthuri_loader(str(tmp_path), split="train", patch_shape=(4, 32, 32),
+                                     batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+
+    def test_vnc_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.vnc import get_vnc_mito_loader
+
+        rng = np.random.default_rng(7)
+        for fname in ("vnc_train.h5", "vnc_test.h5"):
+            with h5py.File(tmp_path / fname, "w") as f:
+                f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+                f.create_dataset("labels/mitochondria",
+                                 data=rng.integers(0, 3, (8, 64, 64)).astype("uint32"))
+        loader = get_vnc_mito_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                     boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
