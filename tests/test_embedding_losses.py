@@ -112,3 +112,30 @@ class TestCombinedAndClDice:
         mask[0, 0, 10:20, 5:28] = 1
         mask = jnp.asarray(mask)
         assert float(SoftclDiceLoss()(mask, mask)) == pytest.approx(0.0, abs=1e-5)
+
+
+class TestNanRobustness:
+    def test_single_pixel_instance_gradients_finite(self):
+        """jnp.linalg.norm has a NaN gradient at exactly-zero vectors; a
+        single-pixel instance makes (emb - mean) exactly zero at that pixel.
+        The eps-guarded norms must keep gradients finite."""
+        import jax
+        import jax.numpy as jnp
+
+        from torch_em_tpu.loss import ContrastiveLoss, SPOCOLoss
+
+        target = np.zeros((1, 1, 16, 16), dtype="int64")
+        target[0, 0, 3, 3] = 1            # single-pixel instance
+        target[0, 0, 8:12, 8:12] = 2
+        pred = jnp.asarray(np.random.RandomState(0).rand(1, 4, 16, 16).astype("float32"))
+
+        loss = ContrastiveLoss(delta_var=0.75, delta_dist=2.0, max_instances=8)
+        val, grad = jax.value_and_grad(lambda p: loss(p, jnp.asarray(target)))(pred)
+        assert np.isfinite(float(val))
+        assert np.isfinite(np.asarray(grad)).all()
+
+        sloss = SPOCOLoss(delta_var=0.75, delta_dist=2.0, max_instances=8, max_anchors=3)
+        val, grad = jax.value_and_grad(
+            lambda p: sloss((p, p), jnp.asarray(target)))(pred)
+        assert np.isfinite(float(val))
+        assert np.isfinite(np.asarray(grad)).all()

@@ -39,7 +39,9 @@ def compute_variance_term(cluster_means, embeddings, target, counts, delta_var,
     means_spatial = cluster_means[target]            # (*spatial, E)
     emb_spatial = jnp.moveaxis(embeddings, 0, -1)     # (*spatial, E)
     counts_spatial = counts[target]                   # (*spatial)
-    variance = jnp.linalg.norm(emb_spatial - means_spatial, axis=-1)
+    # eps-guarded norm: jnp.linalg.norm has a NaN gradient at exactly-zero
+    # vectors (single-pixel instances hit it), which NaNs the whole step
+    variance = jnp.sqrt(jnp.sum(jnp.square(emb_spatial - means_spatial), axis=-1) + EPS)
     if ignore_zero_label:
         variance = variance * (target != 0)
     variance = jnp.clip(variance - delta_var, min=0) ** 2
@@ -69,7 +71,7 @@ def compute_distance_term(cluster_means, counts, delta_dist, ignore_zero_label: 
 def compute_regularizer_term(cluster_means, counts):
     """Pull-to-origin regularizer (reference _scatter_impl_batch :137)."""
     exists = counts > 0
-    norms = jnp.linalg.norm(cluster_means, axis=1) * exists
+    norms = jnp.sqrt(jnp.sum(jnp.square(cluster_means), axis=1) + EPS) * exists
     return jnp.sum(norms) / jnp.maximum(jnp.sum(exists), 1)
 
 
@@ -84,8 +86,8 @@ def compute_unlabeled_push(cluster_means, embeddings, target, counts, delta_dist
     n_instances = jnp.sum(exists)
 
     # distance of every pixel to every existing fg cluster mean
-    dist = jnp.linalg.norm(
-        emb_spatial[..., None, :] - cluster_means[(None,) * (target.ndim)], axis=-1
+    dist = jnp.sqrt(jnp.sum(jnp.square(
+        emb_spatial[..., None, :] - cluster_means[(None,) * (target.ndim)]), axis=-1) + EPS
     )  # (*spatial, M)
     hinged = jnp.clip((delta_dist - dist) * background_mask[..., None], min=0) ** 2
     hinged = hinged * exists[(None,) * target.ndim]

@@ -26,6 +26,8 @@ from . import contrastive_impl as impl
 from .affinity_side_loss import AffinitySideLoss
 from .dice import DiceLoss, dice_score
 
+EPS = 1e-7  # guards sqrt gradients at zero distance
+
 __all__ = [
     "compute_cluster_means", "GaussianKernel", "CombinedAuxLoss", "ContrastiveLossBase",
     "ExtendedContrastiveLoss", "SPOCOLoss", "SPOCOConsistencyLoss", "select_stable_anchor",
@@ -190,9 +192,8 @@ class ExtendedContrastiveLoss(ContrastiveLossBase):
         for all (static) instance slots and masked."""
         emb_spatial = jnp.moveaxis(embeddings, 0, -1)  # (*spatial, E)
         # distances to every cluster mean -> (M, *spatial)
-        dist = jnp.linalg.norm(
-            emb_spatial[None] - cluster_means[(slice(None),) + (None,) * target.ndim], axis=-1
-        )
+        dist = jnp.sqrt(jnp.sum(jnp.square(
+            emb_spatial[None] - cluster_means[(slice(None),) + (None,) * target.ndim]), axis=-1) + EPS)
         pmaps = self.dist_to_mask(dist)
         masks = (target[None] == jnp.arange(self.max_instances).reshape(
             (self.max_instances,) + (1,) * target.ndim)).astype(jnp.float32)
@@ -253,9 +254,8 @@ class SPOCOLoss(ExtendedContrastiveLoss):
         flat = emb.reshape(e, -1)
         anchors = flat[:, anchor_coords_flat]  # (E, A)
         emb_spatial = jnp.moveaxis(emb, 0, -1)  # (*spatial, E)
-        dist = jnp.linalg.norm(
-            emb_spatial[None] - anchors.T.reshape((-1,) + (1,) * len(spatial) + (e,)), axis=-1
-        )
+        dist = jnp.sqrt(jnp.sum(jnp.square(
+            emb_spatial[None] - anchors.T.reshape((-1,) + (1,) * len(spatial) + (e,))), axis=-1) + EPS)
         return self.dist_to_mask(dist)
 
     def emb_consistency(self, emb_q, emb_k, mask, rng):
@@ -307,9 +307,8 @@ class SPOCOConsistencyLoss:
         flat = emb.reshape(e, -1)
         anchors = flat[:, idx]
         emb_spatial = jnp.moveaxis(emb, 0, -1)
-        dist = jnp.linalg.norm(
-            emb_spatial[None] - anchors.T.reshape((-1,) + (1,) * len(spatial) + (e,)), axis=-1
-        )
+        dist = jnp.sqrt(jnp.sum(jnp.square(
+            emb_spatial[None] - anchors.T.reshape((-1,) + (1,) * len(spatial) + (e,))), axis=-1) + EPS)
         return self.dist_to_mask(dist)
 
     def emb_consistency(self, emb_q, emb_k, rng):
