@@ -270,3 +270,25 @@ class TestZooLayouts:
                                      boundaries=True)
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
+
+    def test_isbi_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.isbi2012 import get_isbi_loader
+
+        rng = np.random.default_rng(8)
+        with h5py.File(tmp_path / "isbi.h5", "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("labels/gt_segmentation",
+                             data=rng.integers(1, 5, (8, 64, 64)).astype("uint32"))
+            f.create_dataset("labels/membranes",
+                             data=(rng.random((8, 64, 64)) > 0.7).astype("uint8"))
+        loader = get_isbi_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                 boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        # original membrane labels path
+        loader2 = get_isbi_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                  use_original_labels=True)
+        x2, y2 = next(iter(loader2))
+        assert x2.shape == (1, 1, 4, 32, 32)
