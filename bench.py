@@ -127,6 +127,7 @@ def main():
     # the device (SURVEY hard part #2). Uses one affinity offset so the y
     # shape matches the compiled step (no second executable).
     loader_patches_per_sec = None
+    loader_process_patches_per_sec = None
     loader_device_patches_per_sec = None
     try:
         if over_budget():
@@ -148,52 +149,73 @@ def main():
                              data=rng.integers(1, 500, (64, 512, 512)).astype("uint32"),
                              chunks=(32, 128, 128))
         n_loader_steps = 8
-        ds = SegmentationDataset(
-            h5_path, "raw", h5_path, "labels", patch_shape=patch,
-            label_transform=AffinityTransform(offsets=[[-1, 0, 0]], add_mask=False),
-            label_dtype="float32", n_samples=2 * (2 + n_loader_steps),
-        )
-        loader = TemLoader(ds, batch_size=batch_size, shuffle=True, num_workers=2)
-        it = iter(loader)
-        for _ in range(2):
-            xb, yb = next(it)
-            variables, opt_state, loss = step(
-                variables, opt_state, jax.device_put(xb, device), jax.device_put(yb, device))
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        for _ in range(n_loader_steps):
-            xb, yb = next(it)
-            variables, opt_state, loss = step(
-                variables, opt_state, jax.device_put(xb, device), jax.device_put(yb, device))
-        jax.block_until_ready(loss)
-        loader_patches_per_sec = n_loader_steps * batch_size / (time.perf_counter() - t0)
 
-        # same data path with the affinity transform moved ON DEVICE (loader
-        # ships raw labels; a small jitted transform derives the target and
-        # the SAME train-step executable consumes it)
-        if over_budget():
-            raise TimeoutError
-        from torch_em_tpu.ops.device import DeviceAffinityTransform
+        def run_loader(loader, use_step, trafo=None):
+            it = iter(loader)
+            nonlocal variables, opt_state
+            loss = None
+            for k in range(2 + n_loader_steps):
+                if k == 2:
+                    jax.block_until_ready(loss)
+                    t0 = time.perf_counter()
+                xb, yb = next(it)
+                xb = jax.device_put(xb, device)
+                yb = jax.device_put(yb, device)
+                variables, opt_state, loss = use_step(variables, opt_state, xb, yb)
+            jax.block_until_ready(loss)
+            return n_loader_steps * batch_size / (time.perf_counter() - t0)
 
-        dev_trafo = jax.jit(DeviceAffinityTransform(offsets=[[-1, 0, 0]]).__call__)
-        ds_raw = SegmentationDataset(
-            h5_path, "raw", h5_path, "labels", patch_shape=patch,
-            label_dtype="int32", n_samples=2 * (2 + n_loader_steps),
-        )
-        loader_raw = TemLoader(ds_raw, batch_size=batch_size, shuffle=True, num_workers=2)
-        it = iter(loader_raw)
-        for _ in range(2):
-            xb, yb = next(it)
-            yt = dev_trafo(jax.device_put(yb, device))
-            variables, opt_state, loss = step(variables, opt_state, jax.device_put(xb, device), yt)
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        for _ in range(n_loader_steps):
-            xb, yb = next(it)
-            yt = dev_trafo(jax.device_put(yb, device))
-            variables, opt_state, loss = step(variables, opt_state, jax.device_put(xb, device), yt)
-        jax.block_until_ready(loss)
-        loader_device_patches_per_sec = n_loader_steps * batch_size / (time.perf_counter() - t0)
+        def make_host_ds():
+            return SegmentationDataset(
+                h5_path, "raw", h5_path, "labels", patch_shape=patch,
+                label_transform=AffinityTransform(offsets=[[-1, 0, 0]], add_mask=False),
+                label_dtype="float32", n_samples=2 * (2 + n_loader_steps),
+            )
+
+        # (a) host transforms, thread workers
+        loader_patches_per_sec = run_loader(
+            TemLoader(make_host_ds(), batch_size=batch_size, shuffle=True, num_workers=2),
+            step)
+
+        # (b) host transforms, spawn-process workers — only meaningful on
+        # many-core hosts; recorded either way for the comparison
+        if not over_budget():
+            ploader = TemLoader(make_host_ds(), batch_size=batch_size, shuffle=True,
+                                num_workers=2, worker_mode="process")
+            try:
+                loader_process_patches_per_sec = run_loader(ploader, step)
+            finally:
+                ploader.shutdown()
+
+        # (c) raw labels + the label transform FUSED INSIDE the jitted train
+        # step — the trainer's own device_label_transform path
+        # (trainer/default_trainer.py:_compute_loss), not a separate dispatch
+        if not over_budget():
+            from torch_em_tpu.ops.device import DeviceAffinityTransform
+
+            dev_trafo = DeviceAffinityTransform(offsets=[[-1, 0, 0]])
+
+            def train_step_fused(variables, opt_state, x, ylab):
+                y = dev_trafo(ylab)
+
+                def loss_fn(p):
+                    pred = model.module.apply({"params": p}, x, train=True)
+                    return loss_obj(pred, y)
+
+                loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+                updates, opt_state_new = tx.update(grads, opt_state, variables["params"])
+                params = jax.tree_util.tree_map(
+                    lambda p, u: p + u, variables["params"], updates)
+                return {"params": params}, opt_state_new, loss
+
+            step_fused = jax.jit(train_step_fused, donate_argnums=(0, 1))
+            ds_raw = SegmentationDataset(
+                h5_path, "raw", h5_path, "labels", patch_shape=patch,
+                label_dtype="int32", n_samples=2 * (2 + n_loader_steps),
+            )
+            loader_device_patches_per_sec = run_loader(
+                TemLoader(ds_raw, batch_size=batch_size, shuffle=True, num_workers=2),
+                step_fused)
         shutil.rmtree(tmpdir, ignore_errors=True)
     except Exception:
         pass
@@ -244,9 +266,15 @@ def main():
             "mfu_vs_v5e_peak": None if mfu is None else round(float(mfu), 4),
             "patches_per_sec_with_loader": None if loader_patches_per_sec is None
             else round(float(loader_patches_per_sec), 4),
+            "patches_per_sec_with_loader_process_workers":
+            None if loader_process_patches_per_sec is None
+            else round(float(loader_process_patches_per_sec), 4),
             "patches_per_sec_with_loader_device_transform":
             None if loader_device_patches_per_sec is None
             else round(float(loader_device_patches_per_sec), 4),
+            # loader numbers are host-bound in this environment: the loader
+            # modes need host cores to overlap IO/transform with the device
+            "host_cpu_count": os.cpu_count(),
             "tiled_inference_mvoxels_per_sec": None if inference_mvoxps is None
             else round(inference_mvoxps, 2),
             "device": str(jax.devices()[0]),

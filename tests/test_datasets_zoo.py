@@ -271,6 +271,101 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
 
+    def test_livecell_layout(self, tmp_path):
+        """Fabricated LIVECell layout: image folder tree + COCO polygon
+        annotations (reference livecell.py: images/livecell_train_val_images/
+        <cell_type>/<file>.tif + train.json)."""
+        import json
+
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.livecell import (
+            get_livecell_loader, get_livecell_paths,
+        )
+
+        rng = np.random.default_rng(9)
+        im_dir = tmp_path / "images" / "livecell_train_val_images" / "A172"
+        im_dir.mkdir(parents=True)
+        images, annotations = [], []
+        for i in range(2):
+            fname = f"A172_Phase_A7_1_00d00h00m_{i}.tif"
+            arr = (rng.random((64, 64)) * 255).astype("uint8")
+            Image.fromarray(arr).save(im_dir / fname)
+            images.append({"id": i, "file_name": fname, "height": 64, "width": 64})
+            # two rectangular cells per image, as COCO polygons
+            for j in range(2):
+                x0, y0 = 8 + 24 * j, 8 + 20 * j
+                poly = [x0, y0, x0 + 16, y0, x0 + 16, y0 + 14, x0, y0 + 14]
+                annotations.append({
+                    "id": 10 * i + j, "image_id": i, "segmentation": [poly],
+                    "area": 16 * 14, "iscrowd": 0,
+                })
+        with open(tmp_path / "train.json", "w") as f:
+            json.dump({"images": images, "annotations": annotations}, f)
+
+        image_paths, seg_paths = get_livecell_paths(str(tmp_path), split="train")
+        assert len(image_paths) == len(seg_paths) == 2
+        seg = np.asarray(Image.open(seg_paths[0]))
+        assert seg.max() >= 2  # both instances rasterized
+
+        # cell-type filtering
+        filtered, _ = get_livecell_paths(str(tmp_path), split="train", cell_types=["A172"])
+        assert len(filtered) == 2 and all("A172" in p for p in filtered)
+
+        loader = get_livecell_loader(str(tmp_path), split="train", patch_shape=(64, 64),
+                                     batch_size=1, boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 64, 64)
+        assert y.shape[0] == 1 and y.shape[-2:] == (64, 64)
+
+    def test_plantseg_ovules_layout(self, tmp_path):
+        """Fabricated PlantSeg layout: <name>_<split>/*.h5 with raw/label
+        (reference plantseg.py)."""
+        import h5py
+
+        from torch_em_tpu.data.datasets.light_microscopy.plantseg import (
+            get_plantseg_loader, get_plantseg_paths,
+        )
+
+        rng = np.random.default_rng(10)
+        for name, split in (("ovules", "train"), ("root", "val")):
+            d = tmp_path / f"{name}_{split}"
+            d.mkdir()
+            for i in range(2):
+                with h5py.File(d / f"vol{i}.h5", "w") as f:
+                    f.create_dataset("raw", data=rng.random((8, 64, 64)).astype("float32"))
+                    f.create_dataset("label",
+                                     data=rng.integers(1, 5, (8, 64, 64)).astype("uint32"))
+
+        assert len(get_plantseg_paths(str(tmp_path), "ovules", "train")) == 2
+        loader = get_plantseg_loader(str(tmp_path), "ovules", "train",
+                                     patch_shape=(4, 32, 32), batch_size=1, boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[0] == 1 and y.shape[-3:] == (4, 32, 32)
+
+    def test_mitoem_layout(self, tmp_path):
+        """Fabricated MitoEM layout: <sample>_<split>.h5 with raw/labels
+        (reference mitoem.py)."""
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.mitoem import (
+            get_mitoem_loader, get_mitoem_paths,
+        )
+
+        rng = np.random.default_rng(11)
+        for sample in ("rat", "human"):
+            with h5py.File(tmp_path / f"{sample}_train.h5", "w") as f:
+                f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+                f.create_dataset("labels", data=rng.integers(0, 4, (8, 64, 64)).astype("uint32"))
+
+        paths = get_mitoem_paths(str(tmp_path), splits="train", samples=("rat", "human"))
+        assert len(paths) == 2
+        loader = get_mitoem_loader(str(tmp_path), splits="train", samples=("rat",),
+                                   patch_shape=(4, 32, 32), batch_size=1, boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+
     def test_isbi_layout(self, tmp_path):
         import h5py
 

@@ -55,6 +55,41 @@ class TestTorchExport:
         net = ref.UNet3d(in_channels=1, out_channels=1, initial_features=4, depth=2)
         net.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in state.items()})
 
+    @pytest.mark.parametrize(
+        "norm", [None, "GroupNorm", "InstanceNormTrackStats", "BatchNorm"])
+    def test_norm_configurations_roundtrip(self, norm):
+        """Non-default norms: conv block indices shift (block.{0,2} for
+        norm=None, reference unet.py:419-427), affine params live at
+        block.{0,3}, and running stats must come from batch_stats."""
+        import jax
+
+        from torch_em_tpu.models import UNet2d
+        from torch_em_tpu.utils.modelzoo import torch_state_dict_from_flax
+
+        model = UNet2d(in_channels=1, out_channels=2, initial_features=8,
+                       depth=2, norm=norm, seed=11)
+        if norm in ("InstanceNormTrackStats", "BatchNorm"):
+            # perturb the running stats so the comparison exercises them
+            rs = np.random.RandomState(4)
+            stats = jax.tree_util.tree_map(
+                lambda a: (np.abs(rs.rand(*a.shape)) + 0.5).astype(np.float32),
+                jax.device_get(model.variables["batch_stats"]))
+            model.variables = dict(model.variables, batch_stats=stats)
+
+        state = torch_state_dict_from_flax(model)
+        ref = _load_ref_unet()
+        net = ref.UNet2d(in_channels=1, out_channels=2, initial_features=8,
+                         depth=2, norm=norm)
+        net.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                             for k, v in state.items()})
+        net.eval()
+
+        x = np.random.RandomState(1).rand(1, 1, 32, 32).astype("float32")
+        out_jax = np.asarray(model(x))
+        with torch.no_grad():
+            out_torch = net(torch.from_numpy(x)).numpy()
+        np.testing.assert_allclose(out_jax, out_torch, atol=1e-4, rtol=1e-3)
+
     def test_export_writes_torch_weights(self, tmp_path):
         import json
         import os

@@ -125,6 +125,36 @@ class TestPackedExecution:
         y_p = um._unpack_w(y_p, pk)
         assert float(jnp.max(jnp.abs(y_p - y_t))) < 1e-4
 
+    def test_pack_factor_power_of_two(self):
+        # Regression: 33 <= c_out <= 42 used to yield p=3, which the packed
+        # even/odd pooling helpers cannot represent (channels were dropped).
+        from torch_em_tpu.models import unet as um
+
+        for c in range(1, 200):
+            p = um._pack_factor(c)
+            assert p in (1, 2, 4), (c, p)
+            assert p * c <= 128 or p == 1
+
+    def test_p3_band_model_runs(self):
+        # initial_features=36 lands in the old p=3 band; the model must both
+        # run and match its unpacked execution.
+        import jax.numpy as jnp
+        from torch_em_tpu.models import unet as um
+        from torch_em_tpu.models import UNet2d
+
+        model = UNet2d(in_channels=1, out_channels=2, initial_features=36,
+                       depth=2, norm=None, seed=7)
+        x = np.random.RandomState(5).rand(1, 1, 64, 64).astype("float32")
+        try:
+            um.W4_PACKING = True
+            y1 = model(x)
+            um.W4_PACKING = False
+            y2 = model(x)
+        finally:
+            um.W4_PACKING = True
+        assert y1.shape == (1, 2, 64, 64)
+        assert float(jnp.max(jnp.abs(jnp.asarray(y1) - jnp.asarray(y2)))) < 1e-4
+
     def test_model_packed_matches_unpacked(self):
         import jax.numpy as jnp
         from torch_em_tpu.models import unet as um

@@ -177,7 +177,13 @@ class DataLoader:
     def _process_pool(self):
         """Persistent spawn-based worker pool (created lazily, reused across
         epochs). Spawn — not fork — so each worker unpickles the dataset and
-        reopens its file handles."""
+        reopens its file handles.
+
+        Snapshot semantics (mirrors torch's ``persistent_workers`` caveat):
+        the dataset and collate_fn are pickled ONCE at pool creation; later
+        host-side mutations of either are invisible to the workers. Call
+        :meth:`shutdown` (or assign a new loader) after mutating the dataset
+        so the next epoch recreates the pool from the new state."""
         if self._pool is None:
             ctx = multiprocessing.get_context("spawn")
             self._pool = ProcessPoolExecutor(

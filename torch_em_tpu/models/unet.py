@@ -515,8 +515,15 @@ def _conv_packed(x, kernel, p):
 
 
 def _pack_factor(c_out):
-    """Pixels-per-block for width packing: fill the 128 MXU output lanes."""
-    return int(np.clip(128 // max(int(c_out), 1), 1, 4))
+    """Pixels-per-block for width packing: fill the 128 MXU output lanes.
+
+    Restricted to powers of two: the packed pooling helpers
+    (``_pool2_w_packed`` / ``_pool2x2_packed``) split the p pixel slices into
+    even/odd pairs, which assumes 2 | p. An odd factor (e.g. p=3 for
+    33 <= c_out <= 42) would silently drop channels there, so round down to
+    the largest power of two <= 128 // c_out, capped at 4."""
+    p = int(np.clip(128 // max(int(c_out), 1), 1, 4))
+    return 1 << (p.bit_length() - 1)
 
 
 def _unpack_w(x, p):

@@ -57,16 +57,20 @@ def receptive_field_halo(model, spatial_axis: int = 0) -> int:
     """One-sided receptive field of the UNet along ``spatial_axis``.
 
     Each level contributes two 3x3 convs (1 pixel each side) at its stride,
-    on both the encoder and the decoder path, plus the two base convs at the
-    full downscale — the standard U-Net receptive-field recursion. The result
-    is rounded up to the total downscale factor so that slab+2*halo keeps the
-    divisibility constraint satisfiable.
+    on both the encoder and the decoder path, plus one coarse-pixel tap per
+    decoder linear upsampler (the interpolation reads one neighboring coarse
+    pixel), plus the two base convs at the full downscale — the standard
+    U-Net receptive-field recursion. The result is rounded up to the total
+    downscale factor so that slab+2*halo keeps the divisibility constraint
+    satisfiable.
     """
     factors = _axis_scale_factors(model, spatial_axis)
     stride, rf = 1, 0
     for f in factors:
         rf += 4 * stride          # 2 convs encoder + 2 convs decoder
         stride *= max(int(f), 1)
+        if int(f) > 1:
+            rf += stride          # decoder upsample interpolation tap
     rf += 2 * stride              # base block
     total = stride
     return int(int(np.ceil(rf / total)) * total)
@@ -199,10 +203,17 @@ def spatial_sharded_train_step(model, loss_obj, tx, mesh, halo: Optional[int] = 
     not fit one chip's HBM.
 
     x, y: (B, C, S0, *rest) with S0 sharded. Each device runs the network on
-    its slab + exchanged halo, crops the halo, computes the local loss sum
-    and count; psum makes the loss (and therefore the gradients, via AD
-    through shard_map) globally consistent. Parameters are replicated;
-    gradients arrive all-reduced.
+    its slab + exchanged halo, crops the halo, computes the local loss, and
+    the per-shard losses are pmean'd; AD through shard_map all-reduces the
+    gradients. Parameters are replicated.
+
+    Loss semantics: the sharded objective is the *mean of per-shard losses*,
+    which equals the global loss only for mean-decomposable losses (per-pixel
+    means such as BCE/MSE over equal-size shards). For set-level losses such
+    as Dice, mean-of-shard-Dice is a spatially-blocked variant of the global
+    objective — a deliberate, documented deviation (it is also what the
+    reference's tiled training on crops optimizes); do not expect gradients
+    to match an unsharded Dice step beyond halo/border effects.
 
     Returns ``(step, shard_batch)``: ``step(variables, opt_state, x, y)`` and
     a helper placing host batches with the right shardings.

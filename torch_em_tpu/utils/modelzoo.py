@@ -112,10 +112,15 @@ def torch_state_dict_from_flax(model) -> Optional[Dict[str, np.ndarray]]:
     ``UNet2d/UNet3d/AnisotropicUNet`` state dict (numpy values).
 
     The reference's module naming (unet.py: ``encoder.blocks.<i>.block.{1,4}``
-    conv weights, ``decoder.samplers.<i>.conv``, ``out_conv``) is the
+    conv weights — or ``block.{0,2}`` when ``norm=None`` — with norm modules
+    at ``block.{0,3}``, ``decoder.samplers.<i>.conv``, ``out_conv``) is the
     behavioral contract for ilastik/deepimageJ interop
-    (reference torch_em/util/modelzoo.py:158). The default InstanceNorm is
-    parameter-free on both sides, so convs + biases are the whole state.
+    (reference torch_em/util/modelzoo.py:158, model/unet.py:419-439).
+    The default InstanceNorm is parameter-free on both sides; GroupNorm /
+    InstanceNormTrackStats / BatchNorm affine params are exported from the
+    auto-named flax norm child and running statistics from the
+    ``batch_stats`` collection (torch ``running_mean/var`` +
+    ``num_batches_tracked``).
     Upsampler note: this rebuild applies the 1x1 conv before the (bi/tri)linear
     interpolation — linear ops commute, so the weights transfer exactly.
 
@@ -127,7 +132,32 @@ def torch_state_dict_from_flax(model) -> Optional[Dict[str, np.ndarray]]:
     if factory not in _TORCH_ARCHITECTURES:
         return None
 
-    params = jax.device_get(model.variables)["params"]
+    variables = jax.device_get(model.variables)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    norm_kind = getattr(getattr(model, "module", None), "norm", "InstanceNorm")
+    known_norms = (None, "InstanceNorm", "InstanceNormTrackStats", "GroupNorm", "BatchNorm")
+    if norm_kind not in known_norms:
+        raise ValueError(
+            f"Cannot export norm={norm_kind!r} to a torch_em state dict; "
+            f"supported: {known_norms}"
+        )
+    # reference ConvBlock layout (model/unet.py:419-439): with a norm the
+    # convs sit at block.{1,4} behind norms at block.{0,3}; without, at {0,2}
+    conv_idx = (0, 2) if norm_kind is None else (1, 4)
+    norm_idx = (0, 3)
+
+    def norm_children(tree, block_name, j):
+        """Affine params / running stats of the j-th norm in a block: they
+        nest under the auto-named flax child (e.g. norm0/GroupNorm_0)."""
+        node = tree.get(block_name, {}).get(f"norm{j}")
+        while isinstance(node, dict) and not (
+            "scale" in node or "mean" in node or "bias" in node
+        ):
+            if len(node) != 1:
+                return None
+            node = next(iter(node.values()))
+        return node if isinstance(node, dict) else None
 
     def conv_w(kernel):
         kernel = np.asarray(kernel, dtype=np.float32)
@@ -148,22 +178,39 @@ def torch_state_dict_from_flax(model) -> Optional[Dict[str, np.ndarray]]:
         consumed.add(name)
         return params[name]
 
+    def export_block(src, dst):
+        nonlocal spatial_rank
+        block = take(src)
+        for j, conv in enumerate(("conv0", "conv1")):
+            w = conv_w(block[conv]["kernel"])
+            spatial_rank = w.ndim - 2
+            state[f"{dst}.block.{conv_idx[j]}.weight"] = w
+            state[f"{dst}.block.{conv_idx[j]}.bias"] = np.asarray(
+                block[conv]["bias"], dtype=np.float32)
+            if norm_kind in ("GroupNorm", "BatchNorm", "InstanceNormTrackStats"):
+                affine = norm_children(params, src, j)
+                if affine is None or "scale" not in affine:
+                    raise ValueError(
+                        f"norm={norm_kind} affine params not found for {src}/norm{j}; "
+                        "cannot export a faithful torch state dict"
+                    )
+                state[f"{dst}.block.{norm_idx[j]}.weight"] = np.asarray(affine["scale"], np.float32)
+                state[f"{dst}.block.{norm_idx[j]}.bias"] = np.asarray(affine["bias"], np.float32)
+            if norm_kind in ("BatchNorm", "InstanceNormTrackStats"):
+                stats = norm_children(batch_stats, src, j)
+                if stats is None or "mean" not in stats:
+                    raise ValueError(
+                        f"norm={norm_kind} running stats not found for {src}/norm{j} "
+                        "in the batch_stats collection"
+                    )
+                state[f"{dst}.block.{norm_idx[j]}.running_mean"] = np.asarray(stats["mean"], np.float32)
+                state[f"{dst}.block.{norm_idx[j]}.running_var"] = np.asarray(stats["var"], np.float32)
+                state[f"{dst}.block.{norm_idx[j]}.num_batches_tracked"] = np.asarray(0, np.int64)
+
     n_levels = len([k for k in params if k.startswith("encoder")])
     for i in range(n_levels):
-        for src, dst in ((f"encoder{i}", f"encoder.blocks.{i}"),
-                         (f"decoder{i}", f"decoder.blocks.{i}")):
-            block = take(src)
-            for j, conv in enumerate(("conv0", "conv1")):
-                w = conv_w(block[conv]["kernel"])
-                spatial_rank = w.ndim - 2
-                state[f"{dst}.block.{1 + 3 * j}.weight"] = w
-                state[f"{dst}.block.{1 + 3 * j}.bias"] = np.asarray(
-                    block[conv]["bias"], dtype=np.float32)
-                # affine norms (GroupNorm/BatchNorm) precede each conv at block.{0,3}
-                norm = block.get(f"norm{j}")
-                if norm is not None and "scale" in norm:
-                    state[f"{dst}.block.{3 * j}.weight"] = np.asarray(norm["scale"], np.float32)
-                    state[f"{dst}.block.{3 * j}.bias"] = np.asarray(norm["bias"], np.float32)
+        export_block(f"encoder{i}", f"encoder.blocks.{i}")
+        export_block(f"decoder{i}", f"decoder.blocks.{i}")
         sampler = take(f"sampler{i}")
         w = conv_w(sampler["conv"]["kernel"])
         if w.ndim - 2 < spatial_rank:  # dense 1x1 emitted as 2D; pad to 3D
@@ -171,14 +218,7 @@ def torch_state_dict_from_flax(model) -> Optional[Dict[str, np.ndarray]]:
         state[f"decoder.samplers.{i}.conv.weight"] = w
         state[f"decoder.samplers.{i}.conv.bias"] = np.asarray(sampler["conv"]["bias"], np.float32)
 
-    base = take("base")
-    for j, conv in enumerate(("conv0", "conv1")):
-        state[f"base.block.{1 + 3 * j}.weight"] = conv_w(base[conv]["kernel"])
-        state[f"base.block.{1 + 3 * j}.bias"] = np.asarray(base[conv]["bias"], np.float32)
-        norm = base.get(f"norm{j}")
-        if norm is not None and "scale" in norm:
-            state[f"base.block.{3 * j}.weight"] = np.asarray(norm["scale"], np.float32)
-            state[f"base.block.{3 * j}.bias"] = np.asarray(norm["bias"], np.float32)
+    export_block("base", "base")
 
     out = take("out_conv")
     w = conv_w(out["kernel"])
