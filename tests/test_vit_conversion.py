@@ -215,7 +215,7 @@ class TestSamConversion:
 
         from torch_em_tpu.models.vit import load_sam_weights
 
-        for backbone in ("sam2", "scalemae", "dinov2", "dinov3"):
+        for backbone in ("scalemae", "dinov2", "dinov3"):
             with _pytest.raises(NotImplementedError):
                 load_sam_weights({}, "/nonexistent.pt", backbone=backbone)
 

@@ -222,7 +222,7 @@ BACKBONE_DEFAULTS = {
     "sam": dict(use_neck=True, window_size=14, use_rel_pos=True),
     "sam3": dict(use_neck=True, window_size=14, use_rel_pos=True),
     "cellpose_sam": dict(use_neck=True, window_size=14, use_rel_pos=True),
-    "sam2": dict(use_neck=True),       # true geometry is a Hiera — see load_sam_weights
+    "sam2": dict(),                    # Hiera trunk + FPN neck, models/hiera.py
     "mae": dict(use_neck=False),
     "scalemae": dict(use_neck=False),  # true geometry adds resolution-aware sincos pos-embeds
     "dinov2": dict(use_neck=False),
@@ -231,15 +231,28 @@ BACKBONE_DEFAULTS = {
 
 # backbones whose reference geometry is NOT faithfully implemented yet;
 # checkpoint conversion refuses these rather than silently diverging
-UNSUPPORTED_CONVERSION_BACKBONES = ("sam2", "scalemae", "dinov2", "dinov3")
+UNSUPPORTED_CONVERSION_BACKBONES = ("scalemae", "dinov2", "dinov3")
 
 
 def get_vision_transformer(backbone: str = "sam", model: str = "vit_b",
                            img_size: int = 1024, in_chans: int = 3,
-                           dtype=jnp.float32, **kwargs) -> ViT:
-    """Build a ViT encoder configuration (reference vit.py:793)."""
+                           dtype=jnp.float32, **kwargs):
+    """Build a ViT encoder configuration (reference vit.py:793). For
+    ``backbone='sam2'`` the encoder is the native Hiera+FPN
+    (:class:`..hiera.HieraSam2`, reference vit.py:291) selected by the
+    hvit_{t,s,b,l} model names (reference vit.py:841-860)."""
     if backbone not in BACKBONE_DEFAULTS:
         raise ValueError(f"Unknown backbone {backbone}; available: {sorted(BACKBONE_DEFAULTS)}")
+    if backbone == "sam2":
+        from .hiera import HIERA_CONFIGS, HieraSam2
+
+        if model not in HIERA_CONFIGS:
+            raise ValueError(
+                f"'{model}' is not supported by SAM2. Currently, "
+                f"{sorted(HIERA_CONFIGS)} are supported.")
+        cfg = dict(HIERA_CONFIGS[model])
+        cfg.update(kwargs)
+        return HieraSam2(img_size=img_size, in_chans=in_chans, dtype=dtype, **cfg)
     if model not in VIT_CONFIGS:
         raise ValueError(f"Unknown vit model {model}; available: {sorted(VIT_CONFIGS)}")
     cfg = dict(VIT_CONFIGS[model])
@@ -256,8 +269,9 @@ def load_sam_weights(variables, checkpoint_path: str, backbone: str = "sam",
     tables. With ``strict=True`` (default) any unmatched tensor raises —
     a converted encoder must compute the same function as the source.
 
-    Backbones whose reference geometry is not implemented (sam2/Hiera,
-    scalemae, dinov2/3) are rejected outright.
+    ``backbone='sam2'`` routes to :func:`..hiera.load_sam2_weights` (Hiera
+    trunk + FPN neck). Backbones whose reference geometry is not implemented
+    (scalemae, dinov2/3) are rejected outright.
     """
     import warnings
 
@@ -266,8 +280,12 @@ def load_sam_weights(variables, checkpoint_path: str, backbone: str = "sam",
     if backbone in UNSUPPORTED_CONVERSION_BACKBONES:
         raise NotImplementedError(
             f"Checkpoint conversion for backbone '{backbone}' is not supported: its reference "
-            "geometry (Hiera / resolution-aware sincos / DINO) is not implemented natively yet. "
-            "Supported: 'sam', 'sam3', 'cellpose_sam', 'mae'.")
+            "geometry (resolution-aware sincos / DINO) is not implemented natively yet. "
+            "Supported: 'sam', 'sam2', 'sam3', 'cellpose_sam', 'mae'.")
+    if backbone == "sam2":
+        from .hiera import load_sam2_weights
+
+        return load_sam2_weights(variables, checkpoint_path, strict=strict)
 
     state = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
     if "model" in state:
