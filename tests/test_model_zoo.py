@@ -118,6 +118,7 @@ class TestVimCheckpointLoading:
         b = jax.tree_util.tree_leaves(model2.variables)
         assert all(np.allclose(x, y) for x, y in zip(a, b))
 
-        # hustvl .pth checkpoints are rejected with a clear error
-        with _pytest.raises(NotImplementedError):
+        # hustvl .pth checkpoints now route to the bimamba-v2 converter
+        # (fidelity covered by tests/test_vim_conversion.py)
+        with _pytest.raises(FileNotFoundError):
             load_vim_weights(jax.device_get(model.variables), "/nonexistent/vim_t.pth")
