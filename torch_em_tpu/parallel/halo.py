@@ -16,6 +16,19 @@ Production behavior (round 2):
   inference path's border handling (utils/prediction.py).
 - ``halo_sharded_predict_large`` streams outer chunks through the mesh for
   volumes whose sharded slabs would not fit in HBM.
+
+Norm semantics: the exactness guarantee above holds for norm-free models and
+per-pixel norms. With spatial norms — InstanceNorm, the UNet default — each
+device computes its statistics over its slab + halo, NOT over the full
+volume, so the sharded forward deviates from the unsharded one by the
+slab-vs-global statistics difference. This is the same semantics as the
+blocked ``predict_with_halo`` path (and as the reference's, whose torch
+model also only ever sees block + halo, reference prediction.py:142):
+``halo_sharded_predict`` with slab-shaped blocks and equal halo is
+bit-matched against ``predict_with_halo`` in
+tests/test_parallel.py::TestHaloInstanceNorm. The same applies to
+``spatial_sharded_train_step``: with InstanceNorm the model trains on
+per-shard statistics (as reference training on crops does).
 """
 
 from typing import Optional, Sequence
