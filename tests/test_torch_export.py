@@ -107,6 +107,87 @@ class TestTorchExport:
         assert "out_conv.weight" in loaded
 
 
+class TestTorchImport:
+    """Reverse direction: a reference-produced bioimage.io package
+    (``state_dict.pt`` written from the reference's own torch UNet, plus an
+    rdf weights entry as reference modelzoo.py:158-186 emits it) imports into
+    the native framework and reproduces the torch outputs."""
+
+    def _make_package(self, folder, norm="InstanceNorm", seed=0):
+        import yaml
+
+        ref = _load_ref_unet()
+        torch.manual_seed(seed)
+        kwargs = dict(in_channels=1, out_channels=2, initial_features=8,
+                      depth=2, norm=norm, final_activation="Sigmoid")
+        net = ref.UNet2d(**kwargs)
+        net.eval()
+        torch.save(net.state_dict(), f"{folder}/state_dict.pt")
+        rdf = {
+            "weights": {"pytorch_state_dict": {
+                "source": "state_dict.pt",
+                "architecture": {"callable": "UNet2d",
+                                 "import_from": "torch_em.model.unet",
+                                 "kwargs": kwargs},
+            }},
+            "inputs": [{"axes": "bcyx",
+                        "preprocessing": [{"id": "zero_mean_unit_variance"}]}],
+        }
+        with open(f"{folder}/rdf.yaml", "w") as f:
+            yaml.safe_dump(rdf, f)
+        return net
+
+    @pytest.mark.parametrize("norm", ["InstanceNorm", "GroupNorm", "BatchNorm"])
+    def test_reference_package_roundtrip(self, tmp_path, norm):
+        from torch_em_tpu.utils.modelzoo import import_bioimageio_model
+
+        net = self._make_package(str(tmp_path), norm=norm)
+        if norm == "BatchNorm":
+            # perturb running stats so the import has to carry them over
+            with torch.no_grad():
+                for name, buf in net.named_buffers():
+                    if "running_mean" in name:
+                        buf.add_(torch.randn_like(buf) * 0.1)
+                    elif "running_var" in name:
+                        buf.mul_(1.5)
+            torch.save(net.state_dict(), tmp_path / "state_dict.pt")
+
+        model, normalizer = import_bioimageio_model(str(tmp_path))
+        x = np.random.RandomState(0).rand(1, 1, 64, 64).astype("float32")
+        out_jax = np.asarray(model(x))
+        with torch.no_grad():
+            out_torch = net(torch.from_numpy(x)).numpy()
+        assert out_jax.shape == out_torch.shape
+        np.testing.assert_allclose(out_jax, out_torch, atol=1e-4, rtol=1e-3)
+        from torch_em_tpu.transforms.raw import standardize
+        assert normalizer is standardize
+
+    def test_zip_package(self, tmp_path):
+        from shutil import make_archive
+
+        from torch_em_tpu.utils.modelzoo import import_bioimageio_model
+
+        pkg = tmp_path / "pkg"
+        pkg.mkdir()
+        net = self._make_package(str(pkg))
+        zip_path = make_archive(str(tmp_path / "model"), "zip", str(pkg))
+        model, _ = import_bioimageio_model(zip_path)
+        x = np.random.RandomState(1).rand(1, 1, 32, 32).astype("float32")
+        with torch.no_grad():
+            want = net(torch.from_numpy(x)).numpy()
+        np.testing.assert_allclose(np.asarray(model(x)), want, atol=1e-4, rtol=1e-3)
+
+    def test_strict_rejects_unknown_tensors(self, tmp_path):
+        from torch_em_tpu.models import UNet2d
+        from torch_em_tpu.utils.modelzoo import load_torch_unet_state
+
+        model = UNet2d(in_channels=1, out_channels=2, initial_features=8, depth=2)
+        state = {"encoder.blocks.0.block.1.weight": np.zeros((8, 1, 3, 3), "float32"),
+                 "bogus.weight": np.zeros(3, "float32")}
+        with pytest.raises(ValueError):
+            load_torch_unet_state(model, state)
+
+
 class TestAddWeightFormats:
     def test_add_pytorch_state_dict_to_package(self, tmp_path):
         """Build a minimal package by hand and add the torch weights entry."""

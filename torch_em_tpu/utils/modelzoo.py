@@ -233,6 +233,100 @@ def torch_state_dict_from_flax(model) -> Optional[Dict[str, np.ndarray]]:
     return state
 
 
+def load_torch_unet_state(model, torch_state, strict: bool = True):
+    """Torch→flax direction (converse of :func:`torch_state_dict_from_flax`):
+    map a reference torch_em ``UNet2d/UNet3d/AnisotropicUNet`` state dict onto
+    the native model's variable tree and return the new variables.
+
+    This is what lets a reference-produced bioimage.io package
+    (``state_dict.pt`` written by torch_em's exporter, reference
+    modelzoo.py:158-186) round-trip into this framework
+    (:func:`import_bioimageio_model`). Conv kernels transpose
+    ``(O, I, *k) -> (*k, I, O)`` (1x1 convs stored natively as dense
+    ``(I, O)``); norm affine params and BatchNorm/TrackStats running
+    statistics land in the auto-named flax norm child / the ``batch_stats``
+    collection.
+    """
+    import jax
+
+    variables = jax.device_get(model.variables)
+    params = {k: v for k, v in variables["params"].items()}
+    batch_stats = variables.get("batch_stats", {})
+    norm_kind = getattr(getattr(model, "module", None), "norm", "InstanceNorm")
+    conv_idx = (0, 2) if norm_kind is None else (1, 4)
+    inv_conv = {conv_idx[0]: "conv0", conv_idx[1]: "conv1"}
+    inv_norm = {0: 0, 3: 1}
+    skipped = []
+
+    def norm_child(tree, block_name, j):
+        node = tree.get(block_name, {}).get(f"norm{j}")
+        while isinstance(node, dict) and not (
+            "scale" in node or "mean" in node or "bias" in node
+        ):
+            if len(node) != 1:
+                return None
+            node = next(iter(node.values()))
+        return node if isinstance(node, dict) else None
+
+    def set_leaf(node, key, value, name):
+        if node is None or key not in node:
+            skipped.append(name)
+            return
+        want = np.asarray(node[key])
+        value = np.asarray(value, dtype=want.dtype)
+        if want.ndim == 2 and value.ndim > 2:  # dense-backed 1x1 conv
+            value = value.reshape(value.shape[0], value.shape[1]).T
+        elif value.ndim == want.ndim and want.ndim > 2:
+            n = want.ndim - 2
+            value = value.transpose(tuple(range(2, 2 + n)) + (1, 0))
+        if tuple(value.shape) != tuple(want.shape):
+            skipped.append(name)
+            return
+        node[key] = value
+
+    for name, tensor in torch_state.items():
+        t = tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else np.asarray(tensor)
+        parts = name.split(".")
+        if name.startswith(("encoder.blocks.", "decoder.blocks.")) or name.startswith("base.block."):
+            if parts[0] == "base":
+                src, j, leaf = "base", int(parts[2]), parts[3]
+            else:
+                src, j, leaf = f"{parts[0]}{parts[2]}", int(parts[4]), parts[5]
+            if j in inv_conv and leaf in ("weight", "bias"):
+                node = params.get(src, {}).get(inv_conv[j])
+                set_leaf(node, "kernel" if leaf == "weight" else "bias", t, name)
+            elif j in inv_norm:
+                jn = inv_norm[j]
+                if leaf in ("weight", "bias"):
+                    set_leaf(norm_child(params, src, jn),
+                             "scale" if leaf == "weight" else "bias", t, name)
+                elif leaf in ("running_mean", "running_var"):
+                    set_leaf(norm_child(batch_stats, src, jn),
+                             "mean" if leaf == "running_mean" else "var", t, name)
+                elif leaf != "num_batches_tracked":
+                    skipped.append(name)
+            else:
+                skipped.append(name)
+        elif name.startswith("decoder.samplers."):
+            node = params.get(f"sampler{parts[2]}", {}).get("conv")
+            set_leaf(node, "kernel" if parts[4] == "weight" else "bias", t, name)
+        elif name.startswith("out_conv."):
+            set_leaf(params.get("out_conv"), "kernel" if parts[1] == "weight" else "bias",
+                     t, name)
+        else:
+            skipped.append(name)
+
+    if skipped and strict:
+        raise ValueError(
+            f"load_torch_unet_state: {len(skipped)} unmatched tensors, e.g. "
+            f"{skipped[:5]} — the imported model would not reproduce the source.")
+    new_vars = dict(variables)
+    new_vars["params"] = params
+    if batch_stats:
+        new_vars["batch_stats"] = batch_stats
+    return new_vars
+
+
 def _write_torch_weights(model, export_folder):
     """Emit reference-loadable ``weights.pt`` (torch state dict) for the UNet
     family; returns (path, architecture) or (None, None) for other models."""
@@ -392,32 +486,100 @@ def _validate_model(export_folder: str) -> bool:
 
 def import_bioimageio_model(spec_path: str, return_spec: bool = False, device=None):
     """Load a model package back into a runnable model + normalizer
-    (reference modelzoo.py:743)."""
+    (reference modelzoo.py:743).
+
+    Handles both directions of the interop:
+
+    - packages exported by this framework (``jax`` weights + manifest) restore
+      natively;
+    - packages exported by the **reference** (``pytorch_state_dict`` weights,
+      a ``state_dict.pt`` from torch_em's exporter) are imported by mapping
+      the architecture entry onto the native UNet family and converting the
+      torch state dict (:func:`load_torch_unet_state`).
+
+    ``spec_path`` may be a package folder, an ``rdf.yaml`` path, or a ``.zip``
+    archive (the reference's export format).
+    """
     import yaml
     from flax import serialization as flax_serialization
 
     from ..trainer.serialization import resolve_path
 
-    folder = spec_path if os.path.isdir(spec_path) else os.path.dirname(spec_path)
-    with open(os.path.join(folder, "rdf.yaml")) as f:
+    if os.path.isfile(spec_path) and spec_path.endswith(".zip"):
+        import tempfile
+        from shutil import unpack_archive
+
+        tmp_dir = tempfile.mkdtemp(prefix="tpu_em_import_")
+        unpack_archive(spec_path, tmp_dir)
+        folder = tmp_dir
+    else:
+        folder = spec_path if os.path.isdir(spec_path) else os.path.dirname(spec_path)
+
+    rdf_path = next(
+        (p for n in ("rdf.yaml", "bioimageio.yaml") if os.path.exists(p := os.path.join(folder, n))),
+        None)
+    if rdf_path is None:
+        raise FileNotFoundError(f"No rdf.yaml / bioimageio.yaml in {folder}")
+    with open(rdf_path) as f:
         rdf = yaml.safe_load(f)
-    with open(os.path.join(folder, "model_manifest.json")) as f:
-        manifest = json.load(f)
+    weights = rdf.get("weights", {})
 
-    factory = resolve_path(manifest["factory"])
-    kwargs = {k: v for k, v in manifest["kwargs"].items() if v is not None or k != "postprocessing"}
-    model = factory(**kwargs)
-
-    weights_file = os.path.join(folder, rdf["weights"]["jax"]["source"])
-    with open(weights_file, "rb") as f:
-        state = flax_serialization.msgpack_restore(f.read())
-    variables = flax_serialization.from_state_dict(model.variables, state)
-    model.replace_variables(variables)
+    manifest_path = os.path.join(folder, "model_manifest.json")
+    if "jax" in weights and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        factory = resolve_path(manifest["factory"])
+        kwargs = {k: v for k, v in manifest["kwargs"].items()
+                  if v is not None or k != "postprocessing"}
+        model = factory(**kwargs)
+        weights_file = os.path.join(folder, weights["jax"]["source"])
+        with open(weights_file, "rb") as f:
+            state = flax_serialization.msgpack_restore(f.read())
+        variables = flax_serialization.from_state_dict(model.variables, state)
+        model.replace_variables(variables)
+    elif "pytorch_state_dict" in weights:
+        model = _import_torch_package(folder, weights["pytorch_state_dict"])
+    else:
+        raise NotImplementedError(
+            f"Package carries none of the supported weight formats "
+            f"(jax, pytorch_state_dict): {sorted(weights)}")
 
     normalizer = _load_normalizer(rdf)
     if return_spec:
         return model, normalizer, rdf
     return model, normalizer
+
+
+def _import_torch_package(folder, entry):
+    """Build a native model from a reference-produced pytorch_state_dict
+    weights entry (reference modelzoo.py:158: architecture callable + kwargs,
+    ``state_dict.pt`` source)."""
+    import torch
+
+    from ..trainer.serialization import resolve_path
+
+    arch = entry.get("architecture")
+    if isinstance(arch, dict):
+        callable_name = arch.get("callable") or ""
+        kwargs = arch.get("kwargs") or entry.get("kwargs") or {}
+    else:  # bioimageio 0.4 style: "unet.py:UNet2d" or dotted path
+        callable_name = str(arch or "").replace(":", ".").rsplit(".", 1)[-1]
+        kwargs = entry.get("kwargs") or {}
+    native = {v.rsplit(".", 1)[-1]: k for k, v in _TORCH_ARCHITECTURES.items()}
+    factory_path = native.get(callable_name.rsplit(".", 1)[-1])
+    if factory_path is None:
+        raise NotImplementedError(
+            f"Cannot import torch architecture {callable_name!r}; "
+            f"supported: {sorted(native)}")
+    kwargs = {k: v for k, v in kwargs.items() if not (k == "postprocessing" and v is None)}
+    model = resolve_path(factory_path)(**kwargs)
+
+    source = os.path.basename(str(entry.get("source", "state_dict.pt")))
+    state = torch.load(os.path.join(folder, source), map_location="cpu", weights_only=False)
+    if isinstance(state, dict) and "model_state" in state:
+        state = state["model_state"]
+    model.replace_variables(load_torch_unet_state(model, state))
+    return model
 
 
 def _load_normalizer(rdf):
@@ -430,7 +592,8 @@ def _load_normalizer(rdf):
     if not preprocessing:
         return standardize
     spec = preprocessing[0]
-    name, kwargs = spec["name"], spec.get("kwargs", {})
+    # this framework's packages use "name"; bioimageio 0.5 rdfs use "id"
+    name, kwargs = spec.get("name") or spec.get("id"), spec.get("kwargs", {})
     if name == "zero_mean_unit_variance":
         if kwargs.get("mode") == "fixed":
             return partial(standardize, mean=kwargs.get("mean"), std=kwargs.get("std"))
