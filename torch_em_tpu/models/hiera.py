@@ -161,7 +161,7 @@ class _HieraBlock(nn.Module):
         x = shortcut + att
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(self.dim_out * self.mlp_ratio), dtype=self.dtype, name="mlp_lin1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch F.gelu default: exact erf
         h = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp_lin2")(h)
         return x + h
 

@@ -35,7 +35,12 @@ _IMAGENET_STD = np.array([0.229, 0.224, 0.225])
 
 
 class _DeconvBlock(nn.Module):
-    """2x upsample + conv block (reference Deconv2DBlock, unetr.py:915ff)."""
+    """Faithful Deconv2DBlock (reference unetr.py:1004): 2x upsampler
+    (interp + 1x1 conv, ``use_conv_transpose=False`` — the UNETR default) →
+    single 3x3 conv → BatchNorm → ReLU. The geometry matches the reference
+    tensor-for-tensor so UNETR state dicts transfer in both directions
+    (utils/modelzoo: ``torch_state_dict_from_flax`` /
+    ``load_torch_unet_state``)."""
 
     out_channels: int
     dtype: Any = jnp.float32
@@ -43,8 +48,11 @@ class _DeconvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = Upsampler(self.out_channels, scale_factor=2, dim=2, dtype=self.dtype, name="up")(x)
-        x = ConvBlock(self.out_channels, dim=2, dtype=self.dtype, name="conv")(x, train=train)
-        return x
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        # torch BatchNorm2d defaults: momentum 0.1 (flax: 1 - 0.1), eps 1e-5
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
 
 
 class UNETRModule(nn.Module):
@@ -70,18 +78,33 @@ class UNETRModule(nn.Module):
         if self.encoder_module is not None:
             self.encoder = self.encoder_module
         else:
+            # apply_neck=False: like the reference (vit.py:76 default), UNETR
+            # consumes the RAW embed_dim features; the SAM family's neck
+            # params still exist for strict checkpoint conversion.
+            extra = {} if self.backbone == "sam2" else {"apply_neck": False}
             self.encoder = get_vision_transformer(
                 backbone=self.backbone, model=self.encoder_name, img_size=self.img_size,
-                in_chans=self.in_chans, dtype=self.dtype,
+                in_chans=self.in_chans, dtype=self.dtype, **extra,
             )
         gain = 2
         feats = [self.initial_features * gain ** i for i in range(self.depth + 1)][::-1]
         self.features_decoder = feats
         self.deconv1 = _DeconvBlock(feats[0], dtype=self.dtype)
-        self.deconv2 = [_DeconvBlock(feats[0], dtype=self.dtype), _DeconvBlock(feats[1], dtype=self.dtype)]
-        self.deconv3 = [_DeconvBlock(feats[0], dtype=self.dtype), _DeconvBlock(feats[1], dtype=self.dtype),
-                        _DeconvBlock(feats[2], dtype=self.dtype)]
-        self.deconv4 = ConvBlock(feats[-1], dim=2, dtype=self.dtype)
+        if self.use_skip_connection:
+            # reference unetr.py:580-615: deconv2/3 are chains from the
+            # embed dim; deconv4 is a ConvBlock on the raw input
+            self.deconv2 = [_DeconvBlock(feats[0], dtype=self.dtype),
+                            _DeconvBlock(feats[1], dtype=self.dtype)]
+            self.deconv3 = [_DeconvBlock(feats[0], dtype=self.dtype),
+                            _DeconvBlock(feats[1], dtype=self.dtype),
+                            _DeconvBlock(feats[2], dtype=self.dtype)]
+            self.deconv4 = ConvBlock(feats[-1], dim=2, dtype=self.dtype)
+        else:
+            # reference unetr.py:617-640: a single deconv per stage, each
+            # upsampling the previous one (deconv4 included)
+            self.deconv2 = [_DeconvBlock(feats[1], dtype=self.dtype)]
+            self.deconv3 = [_DeconvBlock(feats[2], dtype=self.dtype)]
+            self.deconv4 = _DeconvBlock(feats[-1], dtype=self.dtype)
         self.base_block = ConvBlock(feats[0], dim=2, dtype=self.dtype)
         self.decoder_blocks = [ConvBlock(f, dim=2, dtype=self.dtype) for f in feats[1:]]
         self.decoder_samplers = [
@@ -137,17 +160,19 @@ class UNETRModule(nn.Module):
             z0 = self.deconv4(self._to_last(x), train=train)
         else:
             z9 = self.deconv1(z12, train=train)
-            z6 = z9
-            for block in self.deconv2[1:]:
-                z6 = block(z6, train=train)
-            z3 = z6
-            for block in self.deconv3[2:]:
-                z3 = block(z3, train=train)
+            z6 = self.deconv2[0](z9, train=train)
+            z3 = self.deconv3[0](z6, train=train)
             z0 = self.deconv4(z3, train=train)
 
         h = self.base_block(z12, train=train)
         for sampler, block, skip in zip(self.decoder_samplers, self.decoder_blocks, [z9, z6, z3]):
             h = sampler(h, train=train)
+            # the reference's Decoder._concat crops the skip to the sampler
+            # output's shape over ALL dims including channels (a centered
+            # channel slice, reference unet.py:363-373) before concatenating
+            if skip.shape[-1] != h.shape[-1]:
+                off = (skip.shape[-1] - h.shape[-1]) // 2
+                skip = skip[..., off:off + h.shape[-1]]
             h = jnp.concatenate([h, skip], axis=-1)
             h = block(h, train=train)
 

@@ -139,7 +139,7 @@ class _Block(nn.Module):
         x = x + attn
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_lin1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch F.gelu default: exact erf
         h = nn.Dense(c, dtype=self.dtype, name="mlp_lin2")(h)
         return x + h
 
@@ -162,6 +162,14 @@ class ViT(nn.Module):
     out_chans: int = 256
     global_attn_indexes: Tuple[int, ...] = (2, 5, 8, 11)
     use_neck: bool = True
+    # Whether the returned features are the neck projection or the raw
+    # embed_dim block output. The reference's ViT_Sam defaults to
+    # apply_neck=False (reference vit.py:76,112-117): UNETR consumes the RAW
+    # features while the neck parameters still exist (SAM checkpoints carry
+    # them). With use_neck=True and apply_neck=False the neck params are
+    # created (conversion stays strict-clean) but its output is discarded
+    # (XLA dead-code-eliminates the compute).
+    apply_neck: bool = True
     window_size: int = 0    # window size of non-global blocks (14 for SAM)
     use_rel_pos: bool = False
     dtype: Any = jnp.float32
@@ -201,6 +209,8 @@ class ViT(nn.Module):
             out = nn.Conv(self.out_chans, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
                           name="neck_conv2")(out)
             out = nn.LayerNorm(dtype=self.dtype, name="neck_ln2")(out)
+            if not self.apply_neck:
+                out = h  # params created above; compute is dead-code-eliminated
         else:
             out = h
         out = jnp.transpose(out, (0, 3, 1, 2)).astype(jnp.float32)

@@ -99,12 +99,125 @@ def _write_weights(model, export_folder):
     return weights_path
 
 
-# reference UNet constructor paths for the pytorch_state_dict weights entry
+# reference constructor paths for the pytorch_state_dict weights entry
 _TORCH_ARCHITECTURES = {
     "torch_em_tpu.models.unet.UNet2d": "torch_em.model.unet.UNet2d",
     "torch_em_tpu.models.unet.UNet3d": "torch_em.model.unet.UNet3d",
     "torch_em_tpu.models.unet.AnisotropicUNet": "torch_em.model.unet.AnisotropicUNet",
+    "torch_em_tpu.models.unetr.UNETR": "torch_em.model.unetr.UNETR",
 }
+
+
+def _conv_w_np(kernel):
+    kernel = np.asarray(kernel, dtype=np.float32)
+    if kernel.ndim == 4:    # (kh, kw, I, O) -> (O, I, kh, kw)
+        return kernel.transpose(3, 2, 0, 1)
+    if kernel.ndim == 5:    # (kd, kh, kw, I, O) -> (O, I, kd, kh, kw)
+        return kernel.transpose(4, 3, 0, 1, 2)
+    if kernel.ndim == 2:    # dense 1x1: (I, O) -> (O, I, 1, 1)
+        t = kernel.T
+        return t.reshape(t.shape + (1, 1))
+    raise ValueError(f"Unsupported kernel rank {kernel.ndim}")
+
+
+def _torch_state_dict_unetr(model) -> Dict[str, np.ndarray]:
+    """Flax→torch state dict for the 2D UNETR with a SAM ViT encoder
+    (reference model/unetr.py:505, naming of the decoder pyramid at
+    :580-640 and the encoder per segment-anything's ImageEncoderViT).
+
+    Inverse of the encoder mapping in models/vit.py:load_sam_weights; the
+    Deconv2DBlocks export their upsampler 1x1 conv, 3x3 conv, and BatchNorm
+    affine + running stats (reference unetr.py:1004)."""
+    import jax
+
+    variables = jax.device_get(model.variables)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    state = {}
+
+    def as32(a):
+        return np.asarray(a, dtype=np.float32)
+
+    # --- encoder: inverse SAM ViT mapping ---
+    # (a plugged-in custom encoder keeps its field auto-name "encoder_module")
+    enc = params.get("encoder") or params["encoder_module"]
+    state["encoder.patch_embed.proj.weight"] = _conv_w_np(enc["patch_embed"]["kernel"])
+    state["encoder.patch_embed.proj.bias"] = as32(enc["patch_embed"]["bias"])
+    if "pos_embed" in enc:
+        state["encoder.pos_embed"] = as32(enc["pos_embed"])
+    n_blocks = len([k for k in enc if k.startswith("block")])
+    for i in range(n_blocks):
+        blk = enc[f"block{i}"]
+        dst = f"encoder.blocks.{i}"
+        for norm in ("norm1", "norm2"):
+            state[f"{dst}.{norm}.weight"] = as32(blk[norm]["scale"])
+            state[f"{dst}.{norm}.bias"] = as32(blk[norm]["bias"])
+        for lin, tdst in (("qkv", "attn.qkv"), ("proj", "attn.proj")):
+            state[f"{dst}.{tdst}.weight"] = as32(blk["attn"][lin]["kernel"]).T
+            state[f"{dst}.{tdst}.bias"] = as32(blk["attn"][lin]["bias"])
+        for rp in ("rel_pos_h", "rel_pos_w"):
+            if rp in blk["attn"]:
+                state[f"{dst}.attn.{rp}"] = as32(blk["attn"][rp])
+        for lin, tdst in (("mlp_lin1", "mlp.lin1"), ("mlp_lin2", "mlp.lin2")):
+            state[f"{dst}.{tdst}.weight"] = as32(blk[lin]["kernel"]).T
+            state[f"{dst}.{tdst}.bias"] = as32(blk[lin]["bias"])
+    for src, idx in (("neck_conv1", 0), ("neck_ln1", 1), ("neck_conv2", 2), ("neck_ln2", 3)):
+        if src not in enc:
+            continue
+        if "conv" in src:
+            state[f"encoder.neck.{idx}.weight"] = _conv_w_np(enc[src]["kernel"])
+        else:
+            state[f"encoder.neck.{idx}.weight"] = as32(enc[src]["scale"])
+            state[f"encoder.neck.{idx}.bias"] = as32(enc[src]["bias"])
+
+    # --- decoder pyramid ---
+    def export_deconv(src, dst):
+        node = params[src]
+        st = batch_stats.get(src, {}).get("bn", {})
+        state[f"{dst}.block.0.conv.weight"] = _conv_w_np(node["up"]["conv"]["kernel"])
+        state[f"{dst}.block.0.conv.bias"] = as32(node["up"]["conv"]["bias"])
+        state[f"{dst}.block.1.block.weight"] = _conv_w_np(node["conv"]["kernel"])
+        state[f"{dst}.block.1.block.bias"] = as32(node["conv"]["bias"])
+        state[f"{dst}.block.2.weight"] = as32(node["bn"]["scale"])
+        state[f"{dst}.block.2.bias"] = as32(node["bn"]["bias"])
+        state[f"{dst}.block.2.running_mean"] = as32(st.get("mean", np.zeros_like(node["bn"]["scale"])))
+        state[f"{dst}.block.2.running_var"] = as32(st.get("var", np.ones_like(node["bn"]["scale"])))
+        state[f"{dst}.block.2.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def export_convblock(src, dst):
+        # default InstanceNorm (param-free): convs at block.{1,4}
+        block = params[src]
+        for j, conv in enumerate(("conv0", "conv1")):
+            state[f"{dst}.block.{1 + 3 * j}.weight"] = _conv_w_np(block[conv]["kernel"])
+            state[f"{dst}.block.{1 + 3 * j}.bias"] = as32(block[conv]["bias"])
+
+    use_skip = model.module.use_skip_connection
+    export_deconv("deconv1", "deconv1")
+    if use_skip:
+        export_deconv("deconv2_0", "deconv2.0")
+        export_deconv("deconv2_1", "deconv2.1")
+        export_deconv("deconv3_0", "deconv3.0")
+        export_deconv("deconv3_1", "deconv3.1")
+        export_deconv("deconv3_2", "deconv3.2")
+        export_convblock("deconv4", "deconv4")
+    else:
+        export_deconv("deconv2_0", "deconv2")
+        export_deconv("deconv3_0", "deconv3")
+        export_deconv("deconv4", "deconv4")
+
+    export_convblock("base_block", "base")
+    n_dec = len([k for k in params if k.startswith("decoder_blocks_")])
+    for i in range(n_dec):
+        export_convblock(f"decoder_blocks_{i}", f"decoder.blocks.{i}")
+        sampler = params[f"decoder_samplers_{i}"]
+        state[f"decoder.samplers.{i}.conv.weight"] = _conv_w_np(sampler["conv"]["kernel"])
+        state[f"decoder.samplers.{i}.conv.bias"] = as32(sampler["conv"]["bias"])
+    state["deconv_out.conv.weight"] = _conv_w_np(params["deconv_out"]["conv"]["kernel"])
+    state["deconv_out.conv.bias"] = as32(params["deconv_out"]["conv"]["bias"])
+    export_convblock("decoder_head", "decoder_head")
+    state["out_conv.weight"] = _conv_w_np(params["out_conv"]["kernel"])
+    state["out_conv.bias"] = as32(params["out_conv"]["bias"])
+    return state
 
 
 def torch_state_dict_from_flax(model) -> Optional[Dict[str, np.ndarray]]:
@@ -131,6 +244,8 @@ def torch_state_dict_from_flax(model) -> Optional[Dict[str, np.ndarray]]:
     factory = getattr(model, "factory", "") or ""
     if factory not in _TORCH_ARCHITECTURES:
         return None
+    if factory == "torch_em_tpu.models.unetr.UNETR":
+        return _torch_state_dict_unetr(model)
 
     variables = jax.device_get(model.variables)
     params = variables["params"]
