@@ -594,15 +594,21 @@ def _pool2x2_packed_bwd(p, res, g):
     mh, mw = res
     c = g.shape[-1] // p
     half = p // 2
-    # W stage: rebuild the gradient w.r.t. the H-pooled tensor
+    # W stage: rebuild the gradient w.r.t. the H-pooled tensor. The u/v
+    # gradients are computed as TWO bulk selects over each contiguous
+    # half-channel range (instead of 2p c-wide where/concat ops, whose
+    # lane-granularity concatenate measured ~2.4 ms/step on the CREMI bench)
+    # and interleaved with one stack+reshape at c granularity.
+    b, hh, wb2, _ = g.shape
     halves = []
     for bi in range(2):  # even / odd W-blocks
-        lanes = []
-        for d in range(half):
-            sl = slice((bi * half + d) * c, (bi * half + d + 1) * c)
-            gu = jnp.where(mw[..., sl], g[..., sl], 0)
-            lanes += [gu, g[..., sl] - gu]
-        halves.append(jnp.concatenate(lanes, axis=-1))
+        gh = g[..., bi * half * c:(bi + 1) * half * c]
+        mwh = mw[..., bi * half * c:(bi + 1) * half * c]
+        gu = jnp.where(mwh, gh, 0)
+        gv = gh - gu
+        pair = jnp.stack([gu.reshape(b, hh, wb2, half, c),
+                          gv.reshape(b, hh, wb2, half, c)], axis=4)
+        halves.append(pair.reshape(b, hh, wb2, p * c))
     dy1 = jnp.stack(halves, axis=3).reshape(mh.shape)
     # H stage: row-granularity interleave
     ga = jnp.where(mh, dy1, 0)
@@ -685,6 +691,36 @@ def _conv3d_decomposed(x, kernel, padding):
     return out.reshape(n, d_out, out.shape[1], out.shape[2], o)
 
 
+@jax.custom_vjp
+def _bias_add(y, b):
+    """Channel bias add whose VJP computes the bias gradient as a
+    ones-vector ``dot_general`` over the flattened spatial axes instead of
+    the AD-derived ``reduce_sum`` (which lowered to a serialized VPU loop
+    fusion at ~170 GB/s, 5x below HBM peak, ~3.3 ms/step across the CREMI
+    UNet's conv bias grads). In-context the end-to-end step measured neutral
+    (49.5 ms/it either way — XLA reschedules the freed bandwidth), but the
+    dot form is kept: it expresses the f32 accumulation on the MXU and is
+    no worse anywhere measured."""
+    return y + b
+
+
+def _bias_add_fwd(y, b):
+    return y + b, None
+
+
+def _bias_add_bwd(res, g):
+    del res
+    g2 = g.reshape(-1, g.shape[-1])
+    ones = jnp.ones((g2.shape[0],), g.dtype)
+    db = jax.lax.dot_general(ones, g2, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # b and y share a dtype (both cast by the caller before the add)
+    return g, db.astype(g.dtype)
+
+
+_bias_add.defvjp(_bias_add_fwd, _bias_add_bwd)
+
+
 class _Conv2dFast(nn.Module):
     """2D conv layer that routes small-channel 3x3 convs through the
     width-packed lowering (see _conv2d_wp). Parameter layout matches
@@ -730,7 +766,7 @@ class _Conv2dFast(nn.Module):
                 )
             y = yi if y is None else y + yi
         b = jnp.tile(bias, self.pack) if self.pack > 1 else bias
-        return y + b.astype(self.dtype)
+        return _bias_add(y, b.astype(self.dtype))
 
 
 class _Conv3dFast(nn.Module):
@@ -780,7 +816,7 @@ class _Conv3dFast(nn.Module):
                 yi = _conv3d_decomposed(p.astype(self.dtype), k, self.padding)
             y = yi if y is None else y + yi
         b = jnp.tile(bias, self.pack) if self.pack > 1 else bias
-        return y + b.astype(self.dtype)
+        return _bias_add(y, b.astype(self.dtype))
 
 
 def _conv_padding(kernel_size, padding, dim):
