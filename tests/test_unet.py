@@ -303,3 +303,113 @@ class TestInstanceNormTrackStats:
             with um.perf_options(packed_conv_mode="shift2"):
                 ys = um._conv_packed(xp, k, p).reshape(1, 8, 16, co)
             np.testing.assert_allclose(np.asarray(ys), np.asarray(ref), atol=1e-5)
+
+
+class TestPhaseExecution:
+    """The 2x2 shifted-phase lowering (models/unet.py PHASE_PACKING: p=4
+    levels run as phase-alternating 2x2 convs at 1.78x nominal executed
+    FLOPs instead of dense3's 4x) must be numerically equivalent to the
+    other lowerings — including the masked-statistics InstanceNorm on the
+    shifted grid and the phase-emitting decoder upsampler."""
+
+    def _forward(self, model_fn, x, phase, pack=True):
+        from torch_em_tpu.models import unet as um
+
+        with um.perf_options(phase_packing=phase, packing=pack):
+            return np.asarray(model_fn()(x))
+
+    def test_unet2d_phase_matches_plain(self):
+        from torch_em_tpu.models import UNet2d
+
+        x = np.random.RandomState(0).rand(1, 1, 128, 128).astype("float32")
+        mk = lambda: UNet2d(in_channels=1, out_channels=2, depth=2,
+                            initial_features=32, final_activation="Sigmoid", seed=7)
+        out_phase = self._forward(mk, x, True)
+        out_plain = self._forward(mk, x, False, pack=False)
+        np.testing.assert_allclose(out_phase, out_plain, atol=2e-5)
+
+    def test_unet2d_phase_no_norm(self):
+        from torch_em_tpu.models import UNet2d
+
+        x = np.random.RandomState(1).rand(1, 1, 64, 64).astype("float32")
+        mk = lambda: UNet2d(in_channels=1, out_channels=1, depth=1,
+                            initial_features=32, norm=None, seed=2)
+        np.testing.assert_allclose(
+            self._forward(mk, x, True), self._forward(mk, x, False), atol=2e-5)
+
+    def test_anisotropic_25d_phase(self):
+        from torch_em_tpu.models import AnisotropicUNet
+
+        x = np.random.RandomState(2).rand(1, 1, 4, 128, 128).astype("float32")
+        mk = lambda: AnisotropicUNet(in_channels=1, out_channels=1,
+                                     initial_features=32,
+                                     scale_factors=[[1, 2, 2], [2, 2, 2]],
+                                     final_activation="Sigmoid",
+                                     anisotropic_kernel=True, seed=3)
+        np.testing.assert_allclose(
+            self._forward(mk, x, True), self._forward(mk, x, False), atol=2e-5)
+
+    def test_gradients_match(self):
+        """Gradient agreement at the cross-lowering noise level (the trusted
+        wpack-vs-plain pair shows the same ~2e-5 max abs deviation on this
+        fixture, so the tolerance reflects f32 accumulation-order noise, not
+        an approximation)."""
+        import jax
+        import jax.numpy as jnp
+
+        from torch_em_tpu.models import UNet2d
+        from torch_em_tpu.models import unet as um
+
+        x = np.random.RandomState(0).rand(1, 1, 128, 128).astype("float32")
+        y = (np.random.RandomState(1).rand(1, 2, 128, 128) > 0.5).astype("float32")
+
+        def grads(phase):
+            with um.perf_options(phase_packing=phase, packing=True):
+                m = UNet2d(in_channels=1, out_channels=2, depth=2,
+                           initial_features=32, final_activation="Sigmoid", seed=7)
+
+                def loss_fn(p):
+                    pred = m.module.apply({"params": p}, jnp.asarray(x), train=True)
+                    return jnp.mean((pred - y) ** 2)
+
+                loss, g = jax.value_and_grad(loss_fn)(m.variables["params"])
+                return float(loss), jax.device_get(g)
+
+        l1, g1 = grads(True)
+        l2, g2 = grads(False)
+        assert abs(l1 - l2) < 1e-6
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_upsample_phase_matches_resize(self):
+        import jax.numpy as jnp
+
+        from torch_em_tpu.models import unet as um
+
+        x = np.random.RandomState(4).rand(2, 16, 24, 8).astype("float32")
+        want = np.asarray(um._upsample(jnp.asarray(x), (2, 2), "linear"))
+        got = np.asarray(um._d2s_phase(um._upsample2x_to_phase(jnp.asarray(x))))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_phase_masked_norm_exact(self):
+        """Masked statistics on the shifted grid: count_scale + zeroed
+        out-of-image slots must reproduce the stats over the real pixels."""
+        import jax.numpy as jnp
+
+        from torch_em_tpu.models import unet as um
+
+        rs = np.random.RandomState(5)
+        c = 3
+        x = rs.rand(2, 8, 8, c).astype("float32")
+        want = np.asarray(um._instance_norm(jnp.asarray(x)))
+        # build the shifted layout by hand: pad one pixel on each side, s2d
+        xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        shifted = np.asarray(um._s2d_phase(jnp.asarray(xp)))
+        sh, sw = shifted.shape[1], shifted.shape[2]
+        cs = (sh * sw) / float((sh - 1) * (sw - 1))
+        shifted = np.asarray(um._mask_shifted(jnp.asarray(shifted), c))
+        normed = um._instance_norm_packed(jnp.asarray(shifted), 4, count_scale=cs)
+        normed = np.asarray(um._mask_shifted(normed, c))
+        # undo the shift: d2s then crop the pad ring
+        back = np.asarray(um._d2s_phase(jnp.asarray(normed)))[:, 1:-1, 1:-1]
+        np.testing.assert_allclose(back, want, atol=1e-5)

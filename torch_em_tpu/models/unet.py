@@ -248,6 +248,10 @@ def _max_pool_reshape(x, window):
 # the packed lowering's Px FLOPs otherwise) and for debugging.
 W4_PACKING = True
 
+# 2x2 shifted-phase execution for p=4 levels (see the PHASE section below):
+# 1.78x executed/nominal instead of dense3's 4x, layout-resident end to end.
+PHASE_PACKING = True
+
 
 class perf_options:
     """Config surface for the UNet perf switches (width packing, Pallas norm,
@@ -265,14 +269,17 @@ class perf_options:
     """
 
     _FLAGS = {"packing": "W4_PACKING", "pallas_norm": "PALLAS_NORM",
-              "packed_conv_mode": "PACKED_CONV_MODE"}
+              "packed_conv_mode": "PACKED_CONV_MODE",
+              "phase_packing": "PHASE_PACKING"}
 
-    def __init__(self, packing=None, pallas_norm=None, packed_conv_mode=None):
+    def __init__(self, packing=None, pallas_norm=None, packed_conv_mode=None,
+                 phase_packing=None):
         g = globals()
         self._saved = {}
         for arg, name in self._FLAGS.items():
             value = {"packing": packing, "pallas_norm": pallas_norm,
-                     "packed_conv_mode": packed_conv_mode}[arg]
+                     "packed_conv_mode": packed_conv_mode,
+                     "phase_packing": phase_packing}[arg]
             if value is not None:
                 self._saved[name] = g[name]
                 g[name] = value
@@ -303,15 +310,205 @@ def _expand_kernel_wp(w, p):
     return wp.reshape(kh, 3, p * ci, p * co)
 
 
-def _pc_stats(xg, p, c, eps):
+# ---------------------------------------------------------------------------
+# 2x2 shifted-phase execution for p=4 levels
+# ---------------------------------------------------------------------------
+# The dense3 W-packed lowering executes p x nominal FLOPs. For p=4 the
+# shifted-phase representation cuts that to 16/9 = 1.78x: activations live as
+# ALIGNED phase tensors (B, H/2, W/2, 4C) — channel index (a*2 + b)*C + c for
+# pixel parity (a, b) — and every 3x3 conv becomes a dense 2x2 conv that
+# ALTERNATES between the aligned grid and the half-pixel-SHIFTED grid
+# (blocks covering pixels 2u-1..2u), so the 3-tap window always spans exactly
+# two blocks and no data movement ("shift") is ever materialized: conv0 of a
+# block maps aligned->shifted, conv1 maps shifted->aligned. The layout is
+# produced once from the tiny network input / by the phase-emitting 2x
+# upsampler and leaves once through the (block-diagonal) out conv, so the
+# only relayouts touch small tensors (the transpose-based space-to-depth on
+# the full activation measured 1.4-2.5 ms per 128 MB on v5e — avoided).
+PHASE = -4
+
+
+def _is_phase(pack):
+    return pack == PHASE
+
+
+def _s2d_phase(x):
+    """(B, H, W, C) -> aligned phase (B, H/2, W/2, 4C). reshape+transpose
+    form: the strided-slice form lowers to gathers (~15x slower on TPU)."""
+    b, h, w, c = x.shape
+    y = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+    return y.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _d2s_phase(y):
+    """Aligned phase (B, Hb, Wb, 4C) -> (B, 2Hb, 2Wb, C)."""
+    b, hb, wb, c4 = y.shape
+    c = c4 // 4
+    z = y.reshape(b, hb, wb, 2, 2, c)
+    z = jnp.transpose(z, (0, 1, 3, 2, 4, 5))
+    return z.reshape(b, hb * 2, wb * 2, c)
+
+
+def _unpack_any(x, pack):
+    """Undo either packing: width-pack factor p or the phase layout."""
+    if _is_phase(pack):
+        return _d2s_phase(x)
+    return _unpack_w(x, pack)
+
+
+def _phase_kernel(w):
+    """(3, 3, Ci, Co) -> (2, 2, 4Ci, 4Co) phase-transition conv kernel.
+
+    Target phase t with tap dy reads source phase (t + dy + 1) % 2 at block
+    tap (t + dy + 1) // 2 (same along W). The same kernel serves both
+    directions — the half-pixel offsets are symmetric: aligned->shifted runs
+    it with padding (1,1)/(1,1), shifted->aligned VALID.
+    """
+    kh, kw, ci, co = w.shape
+    wp = jnp.zeros((2, 2, 2, 2, ci, 2, 2, co), w.dtype)
+    for a in range(2):
+        for b in range(2):
+            for dy in range(-1, 2):
+                for dx in range(-1, 2):
+                    ku, ap = (a + dy + 1) // 2, (a + dy + 1) % 2
+                    kv, bp = (b + dx + 1) // 2, (b + dx + 1) % 2
+                    wp = wp.at[ku, kv, ap, bp, :, a, b, :].set(w[dy + 1, dx + 1])
+    return wp.reshape(2, 2, 4 * ci, 4 * co)
+
+
+def _conv_phase(x, kernel, to_shifted):
+    """3x3/pad-1 conv as a phase-transition 2x2 conv. ``to_shifted`` consumes
+    an ALIGNED tensor (Hb, Wb) and produces the SHIFTED grid (Hb+1, Wb+1);
+    otherwise the inverse."""
+    wp = _phase_kernel(kernel)
+    pad = [(1, 1), (1, 1)] if to_shifted else [(0, 0), (0, 0)]
+    return jax.lax.conv_general_dilated(
+        x, wp, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+
+
+def _mask_shifted(x, c):
+    """Zero the out-of-image positions of a SHIFTED phase tensor (pixel row
+    -1 = block 0 phase a'=0, pixel row H = last block phase a'=1; same along
+    W). Required for exactness: the next conv's taps beyond the image border
+    must read zero (the reference's zero padding), not the extrapolated
+    values the previous conv computed there."""
+    c2 = 2 * c
+    x = x.at[:, 0, :, :c2].set(0.0)
+    x = x.at[:, -1, :, c2:].set(0.0)
+    x = x.at[:, :, 0, :c].set(0.0)
+    x = x.at[:, :, 0, c2:c2 + c].set(0.0)
+    x = x.at[:, :, -1, c:c2].set(0.0)
+    x = x.at[:, :, -1, c2 + c:].set(0.0)
+    return x
+
+
+def _pool2x2_phase(y):
+    """2x2 max pool of an ALIGNED phase tensor: the window IS the phase
+    block, so the pool is a max over the 4 phase groups -> (B, Hb, Wb, C)
+    unpacked at the pooled resolution."""
+    b, hb, wb, c4 = y.shape
+    return jnp.max(y.reshape(b, hb, wb, 4, c4 // 4), axis=3)
+
+
+def _upsample2x_to_phase(x):
+    """Exact 2x linear upsample (half-pixel centers, edge-clamped — identical
+    to _upsample2x_linear_axis) emitted directly in the ALIGNED phase layout:
+    each phase group is a 2-tap blend of the low-res tensor, so the full-res
+    spatial layout is never materialized."""
+    def sh(arr, axis, off):
+        pad = [(0, 0)] * arr.ndim
+        sl = [slice(None)] * arr.ndim
+        n = arr.shape[axis]
+        if off > 0:
+            pad[axis] = (off, 0)
+            sl[axis] = slice(0, n)
+        else:
+            pad[axis] = (0, -off)
+            sl[axis] = slice(-off, n - off)
+        return jnp.pad(arr, pad, mode="edge")[tuple(sl)]
+
+    rows = (0.75 * x + 0.25 * sh(x, 1, 1), 0.75 * x + 0.25 * sh(x, 1, -1))
+    groups = []
+    for t in rows:
+        groups.append(0.75 * t + 0.25 * sh(t, 2, 1))
+        groups.append(0.75 * t + 0.25 * sh(t, 2, -1))
+    return jnp.concatenate(groups, axis=-1)
+
+
+class _ConvPhase(nn.Module):
+    """3x3 conv executed as a phase-transition 2x2 conv (see _phase_kernel).
+    Parameter layout identical to _Conv2dFast / _Conv3dFast (``kernel_size +
+    (I, O)`` kernel + (O,) bias — (1, 3, 3) in the 2.5D mode), so checkpoints
+    are interchangeable across lowerings regardless of which one traced at
+    init. Tuple inputs are virtual channel concatenations (kernel sliced per
+    part)."""
+
+    features: int
+    to_shifted: bool
+    kernel_size: Tuple[int, ...] = (3, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        parts = x if isinstance(x, (tuple, list)) else (x,)
+        in_features = sum(p.shape[-1] // 4 for p in parts)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(batch_axis=(), in_axis=-2, out_axis=-1),
+            tuple(self.kernel_size) + (in_features, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = None
+        c0 = 0
+        for p in parts:
+            cin = p.shape[-1] // 4
+            k = kernel[..., c0:c0 + cin, :]
+            if len(self.kernel_size) == 3:  # 2.5D: (1, 3, 3, I, O)
+                k = k[0]
+            k = k.astype(self.dtype)
+            c0 += cin
+            yi = _conv_phase(p.astype(self.dtype), k, self.to_shifted)
+            y = yi if y is None else y + yi
+        b = jnp.tile(bias, 4)
+        return _bias_add(y, b.astype(self.dtype))
+
+
+class _DensePhase(nn.Module):
+    """Pointwise (1x1) conv on an ALIGNED phase tensor with nn.Dense-
+    compatible (I, O) parameters, applied as ``x @ blockdiag_4(kernel)`` so
+    the phase layout never round-trips through (B, H, W, C)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1] // 4
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (c, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        kb = jnp.zeros((4 * c, 4 * self.features), self.dtype)
+        for g in range(4):
+            kb = kb.at[g * c:(g + 1) * c, g * self.features:(g + 1) * self.features].set(
+                kernel.astype(self.dtype))
+        return x.astype(self.dtype) @ kb + jnp.tile(bias, 4).astype(self.dtype)
+
+
+def _pc_stats(xg, p, c, eps, count_scale=1.0):
     """Per-(group, channel) mean and rsqrt-scale of (g, rows, *spatial, p*C)
-    data, folding the p packed positions into their channel."""
+    data, folding the p packed positions into their channel.
+
+    ``count_scale`` = counted positions / true positions corrects the means
+    when the tensor carries zeroed out-of-image slots (the SHIFTED phase
+    layout): zeros leave the sums untouched, so scaling the means by the
+    slot ratio recovers the exact statistics over the real pixels."""
     g = xg.shape[0]
     axes = tuple(range(1, xg.ndim - 1))
     meanp = jnp.mean(xg, axis=axes, dtype=jnp.float32)                  # (g, pC)
     mean_sqp = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=axes)  # (g, pC)
-    mean = jnp.mean(meanp.reshape(g, p, c), axis=1)                     # (g, C)
-    mean_sq = jnp.mean(mean_sqp.reshape(g, p, c), axis=1)
+    mean = jnp.mean(meanp.reshape(g, p, c), axis=1) * count_scale       # (g, C)
+    mean_sq = jnp.mean(mean_sqp.reshape(g, p, c), axis=1) * count_scale
     scale = jax.lax.rsqrt(mean_sq - mean * mean + eps)
     return mean, scale
 
@@ -323,8 +520,8 @@ def _pc_broadcast(v, p, xg_ndim):
     return jnp.tile(v, (1, p)).reshape(shape)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _norm_core(x, p, stat_groups, eps):
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _norm_core(x, p, stat_groups, eps, count_scale=1.0):
     """Parameter-free instance norm with packed-position folding.
 
     x: (B, *spatial, p*C) with packed channel index dj*C + c (p=1 = plain
@@ -338,30 +535,32 @@ def _norm_core(x, p, stat_groups, eps):
     g = stat_groups if stat_groups is not None else x.shape[0]
     c = x.shape[-1] // p
     xg = x.reshape((g, x.shape[0] // g) + x.shape[1:])
-    mean, scale = _pc_stats(xg, p, c, eps)
+    mean, scale = _pc_stats(xg, p, c, eps, count_scale)
     y = (xg - _pc_broadcast(mean, p, xg.ndim).astype(x.dtype)) \
         * _pc_broadcast(scale, p, xg.ndim).astype(x.dtype)
     return y.reshape(x.shape)
 
 
-def _norm_core_fwd(x, p, stat_groups, eps):
+def _norm_core_fwd(x, p, stat_groups, eps, count_scale=1.0):
     g = stat_groups if stat_groups is not None else x.shape[0]
     c = x.shape[-1] // p
     xg = x.reshape((g, x.shape[0] // g) + x.shape[1:])
-    mean, scale = _pc_stats(xg, p, c, eps)
+    mean, scale = _pc_stats(xg, p, c, eps, count_scale)
     y = (xg - _pc_broadcast(mean, p, xg.ndim).astype(x.dtype)) \
         * _pc_broadcast(scale, p, xg.ndim).astype(x.dtype)
     return y.reshape(x.shape), (y, scale)
 
 
-def _norm_core_bwd(p, stat_groups, eps, res, gr):
+def _norm_core_bwd(p, stat_groups, eps, count_scale, res, gr):
     yf, scale = res
     g = scale.shape[0]
     c = scale.shape[1]
     yg = yf.reshape((g, yf.shape[0] // g) + yf.shape[1:])
     grg = gr.reshape(yg.shape)
     axes = tuple(range(1, yg.ndim - 1))
-    n = np.prod([yg.shape[a] for a in axes]) * p
+    # n = true position count (count_scale corrects for zeroed slots;
+    # their upstream gradients are zero, so the sums are over real pixels)
+    n = np.prod([yg.shape[a] for a in axes]) * p / count_scale
     # per-channel means of g and g*y (fold packed positions)
     s1 = jnp.sum(grg, axis=axes, dtype=jnp.float32).reshape(g, p, c).sum(axis=1)
     s2 = jnp.sum((grg * yg).astype(jnp.float32), axis=axes,
@@ -376,11 +575,13 @@ def _norm_core_bwd(p, stat_groups, eps, res, gr):
 _norm_core.defvjp(_norm_core_fwd, _norm_core_bwd)
 
 
-def _instance_norm_packed(x, p, eps=1e-5, stat_groups=None):
+def _instance_norm_packed(x, p, eps=1e-5, stat_groups=None, count_scale=1.0):
     """Instance norm on a width-packed (B, H, W/p, p*C) tensor (packed channel
     index = dj*C + c): per-channel statistics are the equal-weight average of
-    the p within-block positions' statistics — exact, no unpacking."""
-    return _norm_core(x, p, stat_groups, eps)
+    the p within-block positions' statistics — exact, no unpacking.
+    ``count_scale`` corrects the statistics of SHIFTED phase tensors whose
+    out-of-image slots are zeroed (see _pc_stats)."""
+    return _norm_core(x, p, stat_groups, eps, count_scale)
 
 
 def _conv2d_wp(x, kernel, p):
@@ -622,8 +823,15 @@ _pool2x2_packed.defvjp(_pool2x2_packed_fwd, _pool2x2_packed_bwd)
 
 
 def _max_pool_2d(x, window, p):
-    """Max pool a (possibly width-packed) 4D tensor. Returns (pooled, pack)."""
+    """Max pool a (possibly width-packed or phase-packed) 4D tensor.
+    Returns (pooled, pack)."""
     wh, ww = window
+    if _is_phase(p):
+        if tuple(window) == (2, 2):
+            # the 2x2 window IS the phase block: pool = max over phase groups
+            return _pool2x2_phase(x), 1
+        x = _d2s_phase(x)
+        p = 1
     if p > 1:
         ok = (not (wh & (wh - 1)) and not (ww & (ww - 1))
               and x.shape[1] % wh == 0 and x.shape[2] % ww == 0)
@@ -864,6 +1072,65 @@ class ConvBlock(nn.Module):
             return pk
         return 1
 
+    def _phase_ok(self, parts, packs, ks, pad):
+        """Shifted-phase execution applies when the W-pack factor would be 4,
+        the spatial kernel is 3x3/pad-1 and the norm is per-channel-exact.
+        Inputs must either already live in the phase layout (skips, the
+        phase-emitting upsampler) or be cheap to pack (the few-channel
+        network input) — the phase layout is never produced by relayouting a
+        large activation."""
+        if not (PHASE_PACKING and W4_PACKING):
+            return False
+        if not (self.fast_conv and all(p.ndim == 4 for p in parts)):
+            return False
+        if self.norm not in (None, "InstanceNorm"):
+            return False
+        if tuple(ks[-2:]) != (3, 3) or tuple(pad[-1]) != (1, 1) or tuple(pad[-2]) != (1, 1):
+            return False
+        if self.dim == 3 and ks[0] != 1:
+            return False
+        if _pack_factor(self.out_channels) != 4:
+            return False
+        for p, q in zip(parts, packs):
+            if _is_phase(q):
+                continue
+            if q != 1:
+                return False  # W-packed entry would need a large relayout
+            if (p.shape[1] % 2 or p.shape[2] % 2
+                    or p.shape[1] < 64 or p.shape[2] < 64 or p.shape[-1] > 8):
+                return False
+        return True
+
+    def _phase_call(self, parts, packs, keep_packed):
+        """Both convs as phase-transition 2x2 convs: conv0 ALIGNED->SHIFTED,
+        conv1 SHIFTED->ALIGNED; 1.78x nominal executed FLOPs (vs dense3's
+        4x) with zero shift data movement (the grids alternate)."""
+        parts = tuple(p if _is_phase(q) else _s2d_phase(_unpack_w(p, q))
+                      for p, q in zip(parts, packs))
+        c_out = self.out_channels
+        if self.norm == "InstanceNorm":
+            parts = tuple(_instance_norm_packed(p, 4, stat_groups=self.stat_groups)
+                          for p in parts)
+        ks, _ = _conv_padding(self.kernel_size, self.padding, self.dim)
+        x = _ConvPhase(c_out, to_shifted=True, kernel_size=tuple(ks),
+                       dtype=self.dtype, name="conv0")(parts)
+        x = _mask_shifted(x, c_out)
+        x = nn.relu(x)
+        if self.norm == "InstanceNorm":
+            # exact statistics over the real pixels: zeroed out-of-image
+            # slots keep the sums intact, count_scale fixes the divisor
+            sh, sw = x.shape[1], x.shape[2]
+            cs = (sh * sw) / float((sh - 1) * (sw - 1))
+            x = _instance_norm_packed(x, 4, stat_groups=self.stat_groups,
+                                      count_scale=cs)
+            x = _mask_shifted(x, c_out)
+        x = _ConvPhase(c_out, to_shifted=False, kernel_size=tuple(ks),
+                       dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(x)
+        if keep_packed:
+            return x, PHASE
+        return _d2s_phase(x)
+
     @nn.compact
     def __call__(self, x, train: bool = False, in_pack=None, keep_packed: bool = False):
         """``x`` may be a tuple of tensors = a virtual channel concatenation
@@ -873,14 +1140,22 @@ class ConvBlock(nn.Module):
         concatenated.
 
         ``in_pack`` gives the width-pack factor of each input part (see
-        ``_pack_factor``; None = unpacked); repacking between factors is a
-        free reshape. With ``keep_packed`` the block returns ``(out, pack)``
-        and leaves the output in its packed representation so pools/skips can
-        consume it without a round-trip through (B, H, W, C)."""
+        ``_pack_factor``; None = unpacked; ``PHASE`` = aligned phase layout);
+        repacking between W-pack factors is a free reshape. With
+        ``keep_packed`` the block returns ``(out, pack)`` and leaves the
+        output in its packed representation so pools/skips can consume it
+        without a round-trip through (B, H, W, C)."""
         ks, pad = _conv_padding(self.kernel_size, self.padding, self.dim)
         use_fast = self.fast_conv and self.dim == 3
         parts = x if isinstance(x, (tuple, list)) else (x,)
         packs = tuple(in_pack) if in_pack is not None else (1,) * len(parts)
+        if self._phase_ok(parts, packs, ks, pad):
+            return self._phase_call(parts, packs, keep_packed)
+        if any(_is_phase(q) for q in packs):
+            # phase entries the phase path cannot take: fall back to spatial
+            parts = tuple(_d2s_phase(p) if _is_phase(q) else p
+                          for p, q in zip(parts, packs))
+            packs = tuple(1 if _is_phase(q) else q for q in packs)
         if len(parts) > 1 and (
             self.norm not in (None, "InstanceNorm") or not self.fast_conv
         ):
@@ -1067,6 +1342,7 @@ class Upsampler(nn.Module):
     scale_factor: Union[int, Sequence[int]]
     dim: int
     mode: str = "linear"
+    phase_out: bool = False  # emit the ALIGNED phase layout (2x2 only)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -1086,6 +1362,10 @@ class Upsampler(nn.Module):
         # while the matmul touches prod(factor)-times fewer pixels and the
         # interpolation runs on out_channels instead of in_channels.
         x = nn.Dense(self.out_channels, dtype=self.dtype, name="conv")(x)
+        if self.phase_out and tuple(factor) == (2, 2) and self.mode == "linear":
+            # identical values to _upsample, emitted without ever
+            # materializing the full-resolution spatial layout
+            return _upsample2x_to_phase(x)
         x = _upsample(x, factor, self.mode)
         return x
 
@@ -1186,7 +1466,7 @@ class UNetModule(nn.Module):
             if want2d and not rep2d:
                 return to2d(arr), True, pack
             if not want2d and rep2d:
-                return to3d(_unpack_w(arr, pack), d), False, 1
+                return to3d(_unpack_any(arr, pack), d), False, 1
             return arr, rep2d, pack
 
         def conv_block(name, f, sf, arr, rep2d, in_pack):
@@ -1241,20 +1521,40 @@ class UNetModule(nn.Module):
             else:
                 h, rep2d, h_pack = set_rep(h, rep2d, False, cur_d, h_pack)
             if h.ndim == 4:
-                h = _unpack_w(h, h_pack)
+                h = _unpack_any(h, h_pack)
                 h_pack = 1
+            # emit the upsampled tensor directly in the phase layout when the
+            # decoder block at this level runs phase-packed (its skip is
+            # phase) — avoids a full-resolution relayout
+            up_phase = (h.ndim == 4 and _is_phase(skip_pack)
+                        and tuple(window[-2:]) == (2, 2)
+                        and all(wf == 1 for wf in window[:-2]))
             h = Upsampler(f, scale_factor=sf, dim=self.dim, mode="linear",
-                          dtype=self.dtype, name=f"sampler{level}")(h, train=train)
+                          phase_out=up_phase, dtype=self.dtype,
+                          name=f"sampler{level}")(h, train=train)
+            if up_phase:
+                h_pack = PHASE
             if not rep2d and self.dim == 3:
                 cur_d = cur_d * window[0]
+
             # center-crop the skip if needed (no-op with SAME padding);
             # compare/crop in the unpacked representation
-            skip_spatial = list(skip.shape[1:-1])
-            if skip.ndim == 4:
-                skip_spatial[-1] *= skip_pack
-            if tuple(skip_spatial) != h.shape[1:-1]:
-                skip = _unpack_w(skip, skip_pack) if skip.ndim == 4 else skip
+            def unpacked_spatial(arr, pack):
+                sp = list(arr.shape[1:-1])
+                if arr.ndim == 4:
+                    if _is_phase(pack):
+                        sp = [s * 2 for s in sp]
+                    else:
+                        sp[-1] *= pack
+                return sp
+            skip_spatial = unpacked_spatial(skip, skip_pack)
+            h_spatial = unpacked_spatial(h, h_pack)
+            if tuple(skip_spatial) != tuple(h_spatial):
+                skip = _unpack_any(skip, skip_pack) if skip.ndim == 4 else skip
                 skip_pack = 1
+                if h.ndim == 4 and h_pack != 1:
+                    h = _unpack_any(h, h_pack)
+                    h_pack = 1
                 diff = [(ssh - hsh) // 2 for ssh, hsh in zip(skip.shape[1:-1], h.shape[1:-1])]
                 crop = (slice(None),) + tuple(
                     slice(dd, dd + hsh) for dd, hsh in zip(diff, h.shape[1:-1])
@@ -1271,11 +1571,20 @@ class UNetModule(nn.Module):
 
         def finalize(out_entry, out_channels, conv_name):
             out, out_rep2d, out_d, out_pack = out_entry
-            if out.ndim == 4:
-                out = _unpack_w(out, out_pack)
-            if out_channels is not None:
-                # pointwise conv as Dense: rep-independent (I, O) parameters
-                out = nn.Dense(out_channels, dtype=self.dtype, name=conv_name)(out)
+            if out.ndim == 4 and _is_phase(out_pack):
+                if out_channels is not None:
+                    # block-diagonal pointwise conv in the phase layout (same
+                    # (I, O) params as nn.Dense), then the cheap tiny-channel
+                    # depth-to-space — the big activation never relayouts
+                    out = _DensePhase(out_channels, dtype=self.dtype,
+                                      name=conv_name)(out)
+                out = _d2s_phase(out)
+            else:
+                if out.ndim == 4:
+                    out = _unpack_w(out, out_pack)
+                if out_channels is not None:
+                    # pointwise conv as Dense: rep-independent (I, O) parameters
+                    out = nn.Dense(out_channels, dtype=self.dtype, name=conv_name)(out)
             if out_rep2d:
                 out = to3d(out, out_d)
             inv_perm = (0, out.ndim - 1) + tuple(range(1, out.ndim - 1))

@@ -260,8 +260,12 @@ def spatial_sharded_train_step(model, loss_obj, tx, mesh, halo: Optional[int] = 
             # average the per-shard losses (equal-size shards)
             return jax.lax.pmean(local, axis_name)
 
+        # check_vma=False: the pmean makes the loss replicated, but the
+        # static varying-mesh-axes analysis cannot see through the custom-VJP
+        # ops on the backward path (bias-grad dot_general, norm core) and
+        # rejects the transposed map otherwise.
         fn = shard_map(local_fn, mesh=mesh, in_specs=(P(), spec_x, spec_x),
-                       out_specs=P())
+                       out_specs=P(), check_vma=False)
         return fn(params, x, y)
 
     def train_step(variables, opt_state, x, y):
