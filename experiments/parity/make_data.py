@@ -71,6 +71,8 @@ def main():
     parser.add_argument("--n-train", type=int, default=128)
     parser.add_argument("--n-val", type=int, default=16)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--size", type=int, default=128,
+                        help="image side; 256 = the tracked DSB config scale")
     args = parser.parse_args()
 
     os.makedirs(args.output, exist_ok=True)
@@ -80,7 +82,7 @@ def main():
     for split, n in (("train", args.n_train), ("val", args.n_val)):
         raws, labs, tgts = [], [], []
         for _ in range(n):
-            raw, labels = make_image(rng)
+            raw, labels = make_image(rng, size=args.size)
             raws.append(raw)
             labs.append(labels)
             tgts.append(trafo(labels).astype("float32"))

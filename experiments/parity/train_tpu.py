@@ -27,6 +27,7 @@ def main():
     parser.add_argument("-n", "--n-iterations", type=int, default=1500)
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--features", type=int, default=16)
+    parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
     os.makedirs(args.output, exist_ok=True)
 
@@ -51,7 +52,7 @@ def main():
     val_loader = torch_em.get_data_loader(val_ds, batch_size=args.batch_size)
 
     model = UNet2d(in_channels=1, out_channels=2, initial_features=args.features,
-                   final_activation="Sigmoid")
+                   final_activation="Sigmoid", seed=args.seed)
     trainer = torch_em.default_segmentation_trainer(
         name="parity-dsb-tpu",
         model=model,

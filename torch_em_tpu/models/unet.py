@@ -357,23 +357,35 @@ def _unpack_any(x, pack):
     return _unpack_w(x, pack)
 
 
-def _phase_kernel(w):
-    """(3, 3, Ci, Co) -> (2, 2, 4Ci, 4Co) phase-transition conv kernel.
-
-    Target phase t with tap dy reads source phase (t + dy + 1) % 2 at block
-    tap (t + dy + 1) // 2 (same along W). The same kernel serves both
-    directions — the half-pixel offsets are symmetric: aligned->shifted runs
-    it with padding (1,1)/(1,1), shifted->aligned VALID.
-    """
-    kh, kw, ci, co = w.shape
-    wp = jnp.zeros((2, 2, 2, 2, ci, 2, 2, co), w.dtype)
+def _phase_placement():
+    """Constant placement tensor M[ku, kv, ap, bp, a, b, ky, kx] of the
+    phase-transition kernel: target phase t with tap dy reads source phase
+    (t + dy + 1) % 2 at block tap (t + dy + 1) // 2 (same along W)."""
+    m = np.zeros((2, 2, 2, 2, 2, 2, 3, 3), np.float32)
     for a in range(2):
         for b in range(2):
             for dy in range(-1, 2):
                 for dx in range(-1, 2):
                     ku, ap = (a + dy + 1) // 2, (a + dy + 1) % 2
                     kv, bp = (b + dx + 1) // 2, (b + dx + 1) % 2
-                    wp = wp.at[ku, kv, ap, bp, :, a, b, :].set(w[dy + 1, dx + 1])
+                    m[ku, kv, ap, bp, a, b, dy + 1, dx + 1] = 1.0
+    return m
+
+
+_PHASE_PLACEMENT = _phase_placement()
+
+
+def _phase_kernel(w):
+    """(3, 3, Ci, Co) -> (2, 2, 4Ci, 4Co) phase-transition conv kernel.
+
+    The same kernel serves both directions — the half-pixel offsets are
+    symmetric: aligned->shifted runs it with padding (1,1)/(1,1),
+    shifted->aligned VALID. Built as ONE einsum against the constant
+    placement tensor (36 scattered dynamic-update-slices serialize badly on
+    TPU and their AD transpose is 36 gathers)."""
+    ci, co = w.shape[2], w.shape[3]
+    m = jnp.asarray(_PHASE_PLACEMENT, w.dtype)
+    wp = jnp.einsum("uvpqabyx,yxio->uvpqiabo", m, w)
     return wp.reshape(2, 2, 4 * ci, 4 * co)
 
 
@@ -393,15 +405,21 @@ def _mask_shifted(x, c):
     -1 = block 0 phase a'=0, pixel row H = last block phase a'=1; same along
     W). Required for exactness: the next conv's taps beyond the image border
     must read zero (the reference's zero padding), not the extrapolated
-    values the previous conv computed there."""
-    c2 = 2 * c
-    x = x.at[:, 0, :, :c2].set(0.0)
-    x = x.at[:, -1, :, c2:].set(0.0)
-    x = x.at[:, :, 0, :c].set(0.0)
-    x = x.at[:, :, 0, c2:c2 + c].set(0.0)
-    x = x.at[:, :, -1, c:c2].set(0.0)
-    x = x.at[:, :, -1, c2 + c:].set(0.0)
-    return x
+    values the previous conv computed there.
+
+    Implemented as multiplies with constant-folded broadcast masks — they
+    fuse into the neighboring elementwise ops, unlike edge
+    dynamic-update-slices (which copy)."""
+    sh, sw = x.shape[1], x.shape[2]
+    mh = np.ones((sh, 1, 4 * c), np.float32)
+    mh[0, :, :2 * c] = 0.0
+    mh[-1, :, 2 * c:] = 0.0
+    mw = np.ones((sw, 4 * c), np.float32)
+    mw[0, :c] = 0.0
+    mw[0, 2 * c:3 * c] = 0.0
+    mw[-1, c:2 * c] = 0.0
+    mw[-1, 3 * c:] = 0.0
+    return x * jnp.asarray(mh, x.dtype) * jnp.asarray(mw, x.dtype)
 
 
 def _pool2x2_phase(y):
