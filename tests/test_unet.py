@@ -413,3 +413,84 @@ class TestPhaseExecution:
         # undo the shift: d2s then crop the pad ring
         back = np.asarray(um._d2s_phase(jnp.asarray(normed)))[:, 1:-1, 1:-1]
         np.testing.assert_allclose(back, want, atol=1e-5)
+
+
+class TestNormFold:
+    """Norm-fold execution (NORM_FOLD): folding the single-group
+    parameter-free InstanceNorm into the following conv's weights plus a
+    border-correction bias must be numerically equivalent to the explicit
+    normalize pass on every lowering (plain / width-packed / phase).
+    Tolerances are f32 accumulation-order noise (measured ~2e-5 on these
+    fixtures), not an approximation."""
+
+    def _forward(self, model_fn, x, fold):
+        from torch_em_tpu.models import unet as um
+
+        with um.perf_options(norm_fold=fold):
+            return np.asarray(model_fn()(x))
+
+    def test_unet2d_fold_matches_explicit(self):
+        # f=32 at 128^2: phase path on the top levels, packed below
+        x = np.random.RandomState(0).rand(1, 1, 128, 128).astype("float32")
+        mk = lambda: UNet2d(in_channels=1, out_channels=2, depth=2,
+                            initial_features=32, final_activation="Sigmoid", seed=7)
+        np.testing.assert_allclose(
+            self._forward(mk, x, True), self._forward(mk, x, False), atol=1e-4)
+
+    def test_unet2d_fold_plain_lowering(self):
+        # packing off: the nn.Conv/_Conv2dFast plain path
+        from torch_em_tpu.models import unet as um
+
+        x = np.random.RandomState(1).rand(1, 1, 64, 64).astype("float32")
+        mk = lambda: UNet2d(in_channels=1, out_channels=1, depth=2,
+                            initial_features=16, seed=3)
+        with um.perf_options(packing=False, phase_packing=False):
+            a = self._forward(mk, x, True)
+            b = self._forward(mk, x, False)
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_anisotropic_25d_fold(self):
+        x = np.random.RandomState(2).rand(1, 1, 4, 64, 64).astype("float32")
+        mk = lambda: AnisotropicUNet(in_channels=1, out_channels=1,
+                                     initial_features=16,
+                                     scale_factors=[[1, 2, 2], [2, 2, 2]],
+                                     final_activation="Sigmoid",
+                                     anisotropic_kernel=True, seed=3)
+        np.testing.assert_allclose(
+            self._forward(mk, x, True), self._forward(mk, x, False), atol=1e-4)
+
+    def test_batch2_fold_inert(self):
+        # multi-sample batches have per-sample statistics; the fold must
+        # disable itself and match the explicit path bit-for-bit
+        x = np.random.RandomState(3).rand(2, 1, 64, 64).astype("float32")
+        mk = lambda: UNet2d(in_channels=1, out_channels=1, depth=1,
+                            initial_features=16, seed=5)
+        np.testing.assert_array_equal(
+            self._forward(mk, x, True), self._forward(mk, x, False))
+
+    def test_gradients_match(self):
+        import jax
+        import jax.numpy as jnp
+
+        from torch_em_tpu.models import unet as um
+
+        x = np.random.RandomState(0).rand(1, 1, 64, 64).astype("float32")
+        y = (np.random.RandomState(1).rand(1, 2, 64, 64) > 0.5).astype("float32")
+
+        def grads(fold):
+            with um.perf_options(norm_fold=fold):
+                m = UNet2d(in_channels=1, out_channels=2, depth=2,
+                           initial_features=16, final_activation="Sigmoid", seed=7)
+
+                def loss_fn(p):
+                    pred = m.module.apply({"params": p}, jnp.asarray(x), train=True)
+                    return jnp.mean((pred - y) ** 2)
+
+                loss, g = jax.value_and_grad(loss_fn)(m.variables["params"])
+                return float(loss), jax.device_get(g)
+
+        l1, g1 = grads(True)
+        l2, g2 = grads(False)
+        assert abs(l1 - l2) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -19,6 +19,7 @@ Architecture notes (TPU-first):
 - Static shapes end-to-end; the divisibility check runs at trace time.
 """
 
+import itertools
 from functools import partial
 from typing import Any, Callable, List, Optional, Sequence, Tuple, Union
 
@@ -252,6 +253,16 @@ W4_PACKING = True
 # 1.78x executed/nominal instead of dense3's 4x, layout-resident end to end.
 PHASE_PACKING = True
 
+# Norm-fold execution: when the parameter-free InstanceNorm has a SINGLE
+# statistics group (batch 1, or the 2.5D mode's stat_groups=1), fold the
+# affine normalize into the following conv's weights (reference order is
+# norm -> conv -> ReLU, torch_em/model/unet.py:409-427, with no nonlinearity
+# between norm and conv): conv(s*(x-mean), W) == conv(x, W*s) + border bias
+# (see _fold_bias_apply). This removes the materialized normalize pass
+# forward AND turns the norm backward's activation-sized reductions into
+# weight-sized contractions flowing through the conv's weight gradient.
+NORM_FOLD = True
+
 
 class perf_options:
     """Config surface for the UNet perf switches (width packing, Pallas norm,
@@ -269,17 +280,19 @@ class perf_options:
     """
 
     _FLAGS = {"packing": "W4_PACKING", "pallas_norm": "PALLAS_NORM",
+              "norm_fold": "NORM_FOLD",
               "packed_conv_mode": "PACKED_CONV_MODE",
               "phase_packing": "PHASE_PACKING"}
 
     def __init__(self, packing=None, pallas_norm=None, packed_conv_mode=None,
-                 phase_packing=None):
+                 phase_packing=None, norm_fold=None):
         g = globals()
         self._saved = {}
         for arg, name in self._FLAGS.items():
             value = {"packing": packing, "pallas_norm": pallas_norm,
                      "packed_conv_mode": packed_conv_mode,
-                     "phase_packing": phase_packing}[arg]
+                     "phase_packing": phase_packing,
+                     "norm_fold": norm_fold}[arg]
             if value is not None:
                 self._saved[name] = g[name]
                 g[name] = value
@@ -469,7 +482,7 @@ class _ConvPhase(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold=None):
         parts = x if isinstance(x, (tuple, list)) else (x,)
         in_features = sum(p.shape[-1] // 4 for p in parts)
         kernel = self.param(
@@ -479,17 +492,30 @@ class _ConvPhase(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         y = None
         c0 = 0
-        for p in parts:
+        t_total = None
+        folds = fold if fold is not None else (None,) * len(parts)
+        for p, f in zip(parts, folds):
             cin = p.shape[-1] // 4
             k = kernel[..., c0:c0 + cin, :]
             if len(self.kernel_size) == 3:  # 2.5D: (1, 3, 3, I, O)
                 k = k[0]
-            k = k.astype(self.dtype)
             c0 += cin
+            if f is not None:
+                # norm-fold: scale the input-channel axis, collect the tap
+                # sums for the border bias (see _fold_bias_apply)
+                mean, scale = f
+                tt = jnp.einsum("yxio,i->yxo", k, mean * scale)
+                t_total = tt if t_total is None else t_total + tt
+                k = k * scale[:, None]
+            k = k.astype(self.dtype)
             yi = _conv_phase(p.astype(self.dtype), k, self.to_shifted)
             y = yi if y is None else y + yi
         b = jnp.tile(bias, 4)
-        return _bias_add(y, b.astype(self.dtype))
+        y = _bias_add(y, b.astype(self.dtype))
+        if t_total is not None:
+            y = _fold_bias_apply(
+                y, t_total, _fold_specs_phase(y, self.to_shifted, self.features), 4)
+        return y
 
 
 class _DensePhase(nn.Module):
@@ -536,6 +562,122 @@ def _pc_broadcast(v, p, xg_ndim):
     g = v.shape[0]
     shape = (g,) + (1,) * (xg_ndim - 2) + (p * v.shape[1],)
     return jnp.tile(v, (1, p)).reshape(shape)
+
+
+def _fold_stats(x, p, eps=1e-5, count_scale=1.0):
+    """Single-group instance-norm statistics of a (possibly packed) tensor:
+    per-channel ``(mean, scale)`` of shape (C,), statistics over ALL batch
+    rows and spatial positions (valid when the effective group count is 1 —
+    batch 1, or the 2.5D execution's stat_groups=1). Inputs feed the
+    norm-fold conv path (see NORM_FOLD / _fold_bias_apply)."""
+    c = x.shape[-1] // p
+    mean, scale = _pc_stats(x[None], p, c, eps, count_scale)
+    return mean[0], scale[0]
+
+
+def _fold_bias_apply(y, t, axis_specs, tile):
+    """Add the norm-fold border-correction bias to a conv output.
+
+    Folding the parameter-free InstanceNorm ``n = s*(x - mean)`` into the
+    conv that consumes it rewrites ``conv(n, W)`` (zero-padded) as
+    ``conv(x, W*s) + bias_map`` with
+    ``bias_map(pos) = -sum_{taps inside the image} t[tap]`` and
+    ``t[tap, co] = sum_ci W[tap, ci, co] * s_ci * mean_ci``. The map is the
+    constant ``-t.sum()`` in the interior and deviates only where the 3-tap
+    window crosses the image border, so inclusion-exclusion over the missing
+    tap sides expands it into at most 3^d broadcast terms (constant one-hot
+    masks times tiny dynamic tap sums) that XLA fuses into the conv epilogue
+    — no extra memory pass, and its backward is weight-sized plus the bias
+    gradient's existing reduction.
+
+    ``t``: f32 ``(3,)*d + (Co,)`` (d = number of folded conv axes);
+    ``axis_specs``: per folded axis ``(y_axis, lo, hi)``, lo/hi =
+    ``(spatial_onehot, channel_mask_or_None)`` locating that border's pixels
+    in y's (possibly packed/phase) layout; ``tile``: channel-tiling factor of
+    y's layout (4 for phase, p for width packing, 1 plain)."""
+    d = len(axis_specs)
+    add = None
+    for combo in itertools.product((None, 0, 2), repeat=d):
+        n_miss = sum(c is not None for c in combo)
+        coef = -1.0 if n_miss % 2 == 0 else 1.0
+        ts = t
+        for ax in reversed(range(d)):
+            if combo[ax] is None:
+                ts = ts.sum(axis=ax)
+            else:
+                ts = jnp.take(ts, combo[ax], axis=ax)
+        term = jnp.tile(ts, tile) if tile > 1 else ts  # (tile*Co,)
+        chan = None
+        spat = []
+        for (y_ax, lo, hi), c in zip(axis_specs, combo):
+            if c is None:
+                continue
+            sv, cv = lo if c == 0 else hi
+            spat.append((y_ax, sv))
+            if cv is not None:
+                chan = cv if chan is None else chan * cv
+        if chan is not None:
+            term = term * jnp.asarray(chan, term.dtype)
+        expr = (coef * term).astype(y.dtype).reshape(
+            (1,) * (y.ndim - 1) + (term.shape[0],))
+        for y_ax, sv in spat:
+            shape = [1] * y.ndim
+            shape[y_ax] = len(sv)
+            expr = expr * jnp.asarray(sv, y.dtype).reshape(shape)
+        add = expr if add is None else add + expr
+    return y + add
+
+
+def _fold_onehot(n, i):
+    v = np.zeros(n, np.float32)
+    v[i] = 1.0
+    return v
+
+
+def _fold_specs_phase(y, to_shifted, c):
+    """Border specs (see _fold_bias_apply) for a phase-layout conv output:
+    channel group (a*2 + b)*C holds row-phase a / col-phase b. ALIGNED grids
+    put pixel row 0 at (block 0, a=0); SHIFTED grids at (block 0, a'=1)
+    (pixel rows are ``2I - 1 + a'``); mirrored on the high side and along W."""
+    def gm(groups):
+        v = np.zeros(4 * c, np.float32)
+        for g in groups:
+            v[g * c:(g + 1) * c] = 1.0
+        return v
+
+    sh, sw = y.shape[1], y.shape[2]
+    if to_shifted:
+        row = (1, (_fold_onehot(sh, 0), gm((2, 3))), (_fold_onehot(sh, sh - 1), gm((0, 1))))
+        col = (2, (_fold_onehot(sw, 0), gm((1, 3))), (_fold_onehot(sw, sw - 1), gm((0, 2))))
+    else:
+        row = (1, (_fold_onehot(sh, 0), gm((0, 1))), (_fold_onehot(sh, sh - 1), gm((2, 3))))
+        col = (2, (_fold_onehot(sw, 0), gm((0, 2))), (_fold_onehot(sw, sw - 1), gm((1, 3))))
+    return [row, col]
+
+
+def _fold_specs_2d(y, p, co, axis0=1):
+    """Border specs for a (possibly width-packed) 2D conv output
+    (B, H, W/p, p*Co): row borders are plain; the W borders live in the
+    first / last packed position's channel slice of the first / last block."""
+    h, wb = y.shape[axis0], y.shape[axis0 + 1]
+    if p > 1:
+        cm_lo = np.zeros(p * co, np.float32)
+        cm_lo[:co] = 1.0
+        cm_hi = np.zeros(p * co, np.float32)
+        cm_hi[(p - 1) * co:] = 1.0
+    else:
+        cm_lo = cm_hi = None
+    row = (axis0, (_fold_onehot(h, 0), None), (_fold_onehot(h, h - 1), None))
+    col = (axis0 + 1, (_fold_onehot(wb, 0), cm_lo), (_fold_onehot(wb, wb - 1), cm_hi))
+    return [row, col]
+
+
+def _fold_specs_3d(y):
+    """Border specs for an unpacked 3D conv output (B, D, H, W, C) with a
+    3x3x3 pad-1 kernel."""
+    dz = (1, (_fold_onehot(y.shape[1], 0), None),
+          (_fold_onehot(y.shape[1], y.shape[1] - 1), None))
+    return [dz] + _fold_specs_2d(y, 1, y.shape[-1], axis0=2)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
@@ -965,7 +1107,7 @@ class _Conv2dFast(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold=None):
         parts = x if isinstance(x, (tuple, list)) else (x,)
         div = self.pack
         in_features = sum(p.shape[-1] // div for p in parts)
@@ -976,9 +1118,17 @@ class _Conv2dFast(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         y = None
         c0 = 0
-        for p in parts:
+        t_total = None
+        folds = fold if fold is not None else (None,) * len(parts)
+        for p, f in zip(parts, folds):
             cin = p.shape[-1] // div
-            k = kernel[..., c0:c0 + cin, :].astype(self.dtype)
+            k = kernel[..., c0:c0 + cin, :]
+            if f is not None:
+                mean, scale = f
+                tt = jnp.einsum("yxio,i->yxo", k, mean * scale)
+                t_total = tt if t_total is None else t_total + tt
+                k = k * scale[:, None]
+            k = k.astype(self.dtype)
             c0 += cin
             if self.pack > 1:
                 yi = _conv_packed(p.astype(self.dtype), k, self.pack)
@@ -992,7 +1142,11 @@ class _Conv2dFast(nn.Module):
                 )
             y = yi if y is None else y + yi
         b = jnp.tile(bias, self.pack) if self.pack > 1 else bias
-        return _bias_add(y, b.astype(self.dtype))
+        y = _bias_add(y, b.astype(self.dtype))
+        if t_total is not None:
+            y = _fold_bias_apply(
+                y, t_total, _fold_specs_2d(y, self.pack, self.features), self.pack)
+        return y
 
 
 class _Conv3dFast(nn.Module):
@@ -1010,7 +1164,7 @@ class _Conv3dFast(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold=None):
         parts = x if isinstance(x, (tuple, list)) else (x,)
         div = self.pack
         in_features = sum(p.shape[-1] // div for p in parts)
@@ -1021,9 +1175,20 @@ class _Conv3dFast(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         y = None
         c0 = 0
-        for p in parts:
+        t_total = None
+        fold_z = self.kernel_size[0] == 3  # z is a folded border axis
+        folds = fold if fold is not None else (None,) * len(parts)
+        for p, f in zip(parts, folds):
             cin = p.shape[-1] // div
-            k = kernel[..., c0:c0 + cin, :].astype(self.dtype)
+            k = kernel[..., c0:c0 + cin, :]
+            if f is not None:
+                mean, scale = f
+                tt = jnp.einsum("zyxio,i->zyxo", k, mean * scale)
+                if not fold_z:
+                    tt = tt[0]
+                t_total = tt if t_total is None else t_total + tt
+                k = k * scale[:, None]
+            k = k.astype(self.dtype)
             c0 += cin
             if self.pack > 1:
                 assert p.ndim == 4 and self.kernel_size[0] == 1
@@ -1042,7 +1207,15 @@ class _Conv3dFast(nn.Module):
                 yi = _conv3d_decomposed(p.astype(self.dtype), k, self.padding)
             y = yi if y is None else y + yi
         b = jnp.tile(bias, self.pack) if self.pack > 1 else bias
-        return _bias_add(y, b.astype(self.dtype))
+        y = _bias_add(y, b.astype(self.dtype))
+        if t_total is not None:
+            if y.ndim == 5:
+                specs = (_fold_specs_3d(y) if fold_z
+                         else _fold_specs_2d(y, 1, self.features, axis0=2))
+            else:
+                specs = _fold_specs_2d(y, self.pack, self.features)
+            y = _fold_bias_apply(y, t_total, specs, self.pack)
+        return y
 
 
 def _conv_padding(kernel_size, padding, dim):
@@ -1119,6 +1292,15 @@ class ConvBlock(nn.Module):
                 return False
         return True
 
+    def _fold_ok(self, parts):
+        """Norm-fold eligibility: parameter-free InstanceNorm with a SINGLE
+        statistics group (see NORM_FOLD). Per-group folded weights would be
+        needed otherwise, which a shared-weight conv cannot express."""
+        if not (NORM_FOLD and self.norm == "InstanceNorm"):
+            return False
+        g = self.stat_groups if self.stat_groups is not None else parts[0].shape[0]
+        return g == 1
+
     def _phase_call(self, parts, packs, keep_packed):
         """Both convs as phase-transition 2x2 convs: conv0 ALIGNED->SHIFTED,
         conv1 SHIFTED->ALIGNED; 1.78x nominal executed FLOPs (vs dense3's
@@ -1126,24 +1308,36 @@ class ConvBlock(nn.Module):
         parts = tuple(p if _is_phase(q) else _s2d_phase(_unpack_w(p, q))
                       for p, q in zip(parts, packs))
         c_out = self.out_channels
+        fold = self._fold_ok(parts)
+        folds0 = None
         if self.norm == "InstanceNorm":
-            parts = tuple(_instance_norm_packed(p, 4, stat_groups=self.stat_groups)
-                          for p in parts)
+            if fold:
+                folds0 = tuple(_fold_stats(p, 4) for p in parts)
+            else:
+                parts = tuple(_instance_norm_packed(p, 4, stat_groups=self.stat_groups)
+                              for p in parts)
         ks, _ = _conv_padding(self.kernel_size, self.padding, self.dim)
         x = _ConvPhase(c_out, to_shifted=True, kernel_size=tuple(ks),
-                       dtype=self.dtype, name="conv0")(parts)
+                       dtype=self.dtype, name="conv0")(parts, fold=folds0)
         x = _mask_shifted(x, c_out)
         x = nn.relu(x)
+        folds1 = None
         if self.norm == "InstanceNorm":
             # exact statistics over the real pixels: zeroed out-of-image
             # slots keep the sums intact, count_scale fixes the divisor
             sh, sw = x.shape[1], x.shape[2]
             cs = (sh * sw) / float((sh - 1) * (sw - 1))
-            x = _instance_norm_packed(x, 4, stat_groups=self.stat_groups,
-                                      count_scale=cs)
-            x = _mask_shifted(x, c_out)
+            if fold:
+                # folded conv1 consumes the un-normalized x whose dead slots
+                # are already zero — the virtual zero padding stays exact
+                # without the second _mask_shifted
+                folds1 = (_fold_stats(x, 4, count_scale=cs),)
+            else:
+                x = _instance_norm_packed(x, 4, stat_groups=self.stat_groups,
+                                          count_scale=cs)
+                x = _mask_shifted(x, c_out)
         x = _ConvPhase(c_out, to_shifted=False, kernel_size=tuple(ks),
-                       dtype=self.dtype, name="conv1")(x)
+                       dtype=self.dtype, name="conv1")(x, fold=folds1)
         x = nn.relu(x)
         if keep_packed:
             return x, PHASE
@@ -1185,37 +1379,52 @@ class ConvBlock(nn.Module):
             parts = tuple(_repack_w(p, q, pk) for p, q in zip(parts, packs))
         else:
             parts = tuple(_unpack_w(p, q) for p, q in zip(parts, packs))
+        # norm-fold eligibility for the non-phase fast paths: each conv axis
+        # must be a 3-tap pad-1 (folded border axis) or 1-tap pad-0 axis
+        fold = (self._fold_ok(parts)
+                and (use_fast or (self.fast_conv and self.dim == 2))
+                and all((k3 == 3 and tuple(pp) == (1, 1)) or
+                        (k3 == 1 and tuple(pp) == (0, 0))
+                        for k3, pp in zip(ks, pad)))
         x = None
         for i in range(2):
             if i == 1:
                 parts = (x,)
             if pk > 1:
+                folds = None
                 if self.norm == "InstanceNorm":
-                    parts = tuple(
-                        _instance_norm_packed(p, pk, stat_groups=self.stat_groups)
-                        for p in parts
-                    )
+                    if fold:
+                        folds = tuple(_fold_stats(p, pk) for p in parts)
+                    else:
+                        parts = tuple(
+                            _instance_norm_packed(p, pk, stat_groups=self.stat_groups)
+                            for p in parts
+                        )
                 conv_cls = _Conv3dFast if self.dim == 3 else _Conv2dFast
                 x = conv_cls(self.out_channels, tuple(ks), pad, pack=pk,
-                             dtype=self.dtype, name=f"conv{i}")(parts)
+                             dtype=self.dtype, name=f"conv{i}")(parts, fold=folds)
                 x = nn.relu(x)
                 continue
+            folds = None
             if self.norm == "InstanceNorm":
-                # parameter-free: apply per part (per-channel stats make the
-                # split exact)
-                parts = tuple(
-                    _instance_norm(p, stat_groups=self.stat_groups) for p in parts
-                )
+                if fold:
+                    folds = tuple(_fold_stats(p, 1) for p in parts)
+                else:
+                    # parameter-free: apply per part (per-channel stats make
+                    # the split exact)
+                    parts = tuple(
+                        _instance_norm(p, stat_groups=self.stat_groups) for p in parts
+                    )
             elif self.norm is not None:
                 parts = (_NormLayer(self.norm, stat_groups=self.stat_groups,
                                     dtype=self.dtype, name=f"norm{i}")(
                     parts[0], train=train),)
             if use_fast:
                 x = _Conv3dFast(self.out_channels, tuple(ks), pad, dtype=self.dtype,
-                                name=f"conv{i}")(parts)
+                                name=f"conv{i}")(parts, fold=folds)
             elif self.fast_conv and self.dim == 2:
                 x = _Conv2dFast(self.out_channels, tuple(ks), pad, dtype=self.dtype,
-                                name=f"conv{i}")(parts)
+                                name=f"conv{i}")(parts, fold=folds)
             else:
                 x = nn.Conv(self.out_channels, ks, padding=pad, dtype=self.dtype,
                             name=f"conv{i}")(parts[0])
