@@ -23,7 +23,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-d", "--data", default="./parity_data3d")
     parser.add_argument("-o", "--output", default="./parity_out3d")
+    parser.add_argument("--patch", default="8,64,64",
+                        help="eval patch z,y,x — must match the preds files")
     args = parser.parse_args()
+    global PATCH
+    PATCH = tuple(int(s) for s in args.patch.split(","))
 
     from glob import glob
 

@@ -18,6 +18,7 @@ from torch_em_tpu.ops.host import find_boundaries
 
 
 def make_volume(rng: np.random.Generator, shape=(24, 96, 96)):
+    shape = tuple(shape)
     n_seeds = max(int(np.prod(shape) // 3000), 8)
     seeds = np.zeros(shape, dtype="uint32")
     coords = tuple(rng.integers(0, s, n_seeds) for s in shape)
@@ -39,14 +40,17 @@ def main():
     parser.add_argument("--n-train", type=int, default=6)
     parser.add_argument("--n-val", type=int, default=2)
     parser.add_argument("--seed", type=int, default=13)
+    parser.add_argument("--shape", default="24,96,96",
+                        help="volume shape z,y,x (tracked-scale runs need >= the patch)")
     args = parser.parse_args()
+    shape = tuple(int(s) for s in args.shape.split(","))
 
     rng = np.random.default_rng(args.seed)
     for split, n in (("train", args.n_train), ("val", args.n_val)):
         split_dir = os.path.join(args.output, split)
         os.makedirs(split_dir, exist_ok=True)
         for i in range(n):
-            raw, labels = make_volume(rng)
+            raw, labels = make_volume(rng, shape)
             with h5py.File(os.path.join(split_dir, f"vol{i}.h5"), "w") as f:
                 f.create_dataset("raw", data=raw, compression="gzip")
                 f.create_dataset("labels", data=labels, compression="gzip")

@@ -60,16 +60,35 @@ def main():
     parser.add_argument("-n", "--n-iterations", type=int, default=600)
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--patch", default="8,64,64")
+    parser.add_argument("--features", type=int, default=8)
+    parser.add_argument("--eval-patch", default=None,
+                        help="final-prediction patch z,y,x (defaults to --patch); "
+                             "lets a CPU-bound training still emit preds at the "
+                             "tracked comparison patch")
+    parser.add_argument("--tracked-model", action="store_true",
+                        help="use the bench.py north-star model (4 levels, "
+                             "anisotropic kernels) instead of the reduced 2-level one")
     args = parser.parse_args()
     os.makedirs(args.output, exist_ok=True)
+    global PATCH
+    PATCH = tuple(int(s) for s in args.patch.split(","))
+    EVAL_PATCH = (tuple(int(s) for s in args.eval_patch.split(","))
+                  if args.eval_patch else PATCH)
 
     unet_mod = load_ref_module(os.path.join(REF, "model/unet.py"), "ref_unet3d")
     dice_mod = load_ref_module(os.path.join(REF, "loss/dice.py"), "ref_dice3d")
 
     torch.manual_seed(args.seed)
-    model = unet_mod.AnisotropicUNet(
-        in_channels=1, out_channels=1, initial_features=8,
-        scale_factors=[[1, 2, 2], [2, 2, 2]], final_activation="Sigmoid")
+    if args.tracked_model:
+        model = unet_mod.AnisotropicUNet(
+            in_channels=1, out_channels=1, initial_features=args.features,
+            scale_factors=[[1, 2, 2], [1, 2, 2], [2, 2, 2], [2, 2, 2]],
+            anisotropic_kernel=True, final_activation="Sigmoid")
+    else:
+        model = unet_mod.AnisotropicUNet(
+            in_channels=1, out_channels=1, initial_features=args.features,
+            scale_factors=[[1, 2, 2], [2, 2, 2]], final_activation="Sigmoid")
     loss_f = dice_mod.DiceLoss()
     optimizer = torch.optim.AdamW(model.parameters(), lr=1e-4, weight_decay=0.01)
     scheduler = torch.optim.lr_scheduler.ReduceLROnPlateau(
@@ -124,8 +143,10 @@ def main():
 
     model.load_state_dict(torch.load(os.path.join(args.output, "ref_best3d.pt"), weights_only=True))
     model.eval()
+    xe = torch.from_numpy(
+        raw_va[:, None, :EVAL_PATCH[0], :EVAL_PATCH[1], :EVAL_PATCH[2]].copy())
     with torch.no_grad():
-        preds = torch.cat([model(xv[i:i + 1]) for i in range(len(xv))]).numpy()
+        preds = torch.cat([model(xe[i:i + 1]) for i in range(len(xe))]).numpy()
     with h5py.File(os.path.join(args.output, "ref_torch_preds3d.h5"), "w") as f:
         f.create_dataset("preds", data=preds)
     result = {"side": "reference-torch-cpu", "best_val_metric": best_metric, "iterations": it}

@@ -16,17 +16,21 @@ import torch_em_tpu as torch_em
 from torch_em_tpu.models import AnisotropicUNet
 from torch_em_tpu.transforms.label import BoundaryTransform
 
-PATCH = (8, 64, 64)
-
-
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-d", "--data", default="./parity_data3d")
     parser.add_argument("-o", "--output", default="./parity_out3d")
     parser.add_argument("-n", "--n-iterations", type=int, default=600)
     parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--patch", default="8,64,64")
+    parser.add_argument("--features", type=int, default=8)
+    parser.add_argument("--tracked-model", action="store_true",
+                        help="use the bench.py north-star model (4 levels, "
+                             "anisotropic kernels) instead of the reduced 2-level one")
     args = parser.parse_args()
     os.makedirs(args.output, exist_ok=True)
+    PATCH = tuple(int(s) for s in args.patch.split(","))
 
     from glob import glob
 
@@ -45,8 +49,17 @@ def main():
         n_samples=8,
     )
 
-    model = AnisotropicUNet(in_channels=1, out_channels=1, initial_features=8,
-                            scale_factors=[[1, 2, 2], [2, 2, 2]], final_activation="Sigmoid")
+    if args.tracked_model:
+        # the BASELINE.json / bench.py CREMI north-star model
+        model = AnisotropicUNet(
+            in_channels=1, out_channels=1, initial_features=args.features,
+            scale_factors=[[1, 2, 2], [1, 2, 2], [2, 2, 2], [2, 2, 2]],
+            anisotropic_kernel=True, final_activation="Sigmoid", seed=args.seed)
+    else:
+        model = AnisotropicUNet(
+            in_channels=1, out_channels=1, initial_features=args.features,
+            scale_factors=[[1, 2, 2], [2, 2, 2]], final_activation="Sigmoid",
+            seed=args.seed)
     trainer = torch_em.default_segmentation_trainer(
         name="parity-cremi-tpu", model=model,
         train_loader=train_loader, val_loader=val_loader,
