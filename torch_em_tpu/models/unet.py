@@ -402,15 +402,65 @@ def _phase_kernel(w):
     return wp.reshape(2, 2, 4 * ci, 4 * co)
 
 
+def _conv_phase_apply(x, wp, to_shifted):
+    pad = [(1, 1), (1, 1)] if to_shifted else [(0, 0), (0, 0)]
+    return jax.lax.conv_general_dilated(
+        x, wp, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_phase_p(x, wp, to_shifted):
+    """Phase-transition 2x2 conv on the (already expanded) phase kernel,
+    with a hand-written VJP: the default transpose lowers the weight
+    gradient with the SHIFTED (Hb+1)^2 cotangent in the kernel role, which
+    the TPU conv canonicalizer materializes as a full-size `reverse`
+    (~0.8 ms/step on the CREMI bench). Here the input gradient is the
+    opposite-direction phase conv (spatially flipped, io-transposed kernel)
+    and the weight gradient always puts the larger (Hb+1)^2 operand in the
+    image role with VALID padding, so no large reversal exists."""
+    return _conv_phase_apply(x, wp, to_shifted)
+
+
+def _conv_phase_p_fwd(x, wp, to_shifted):
+    return _conv_phase_apply(x, wp, to_shifted), (x, wp)
+
+
+def _conv_phase_p_bwd(to_shifted, res, g):
+    x, wp = res
+    gx = _conv_phase_apply(
+        g, jnp.flip(wp, (0, 1)).transpose(0, 1, 3, 2), not to_shifted)
+    # (A four-sliced-dot_general weight grad — one tall-skinny contraction
+    # per 2x2 tap — measured 6.7 ms/step SLOWER than these conv forms.)
+    if to_shifted:
+        # dwp[u,v,i,o] = sum_{n,a,b} g[n,a,b,o] x[n,a+u-1,b+v-1,i]:
+        # image = g (shifted grid), kernel = x, VALID; the length-2 output
+        # window comes out u-reversed (dwp[u] reads g[k+1-u]).
+        out = jax.lax.conv_general_dilated(
+            g, x, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("CHWN", "IHWO", "NHWC"),
+            preferred_element_type=jnp.float32)          # (4Co, 2, 2, 4Ci)
+        gw = jnp.flip(out, (1, 2)).transpose(1, 2, 3, 0)
+    else:
+        # dwp[u,v,i,o] = sum_{n,a,b} x[n,a+u,b+v,i] g[n,a,b,o]:
+        # image = x (shifted grid), kernel = g, VALID, direct orientation.
+        out = jax.lax.conv_general_dilated(
+            x, g, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("CHWN", "IHWO", "NHWC"),
+            preferred_element_type=jnp.float32)          # (4Ci, 2, 2, 4Co)
+        gw = out.transpose(1, 2, 0, 3)
+    return gx, gw.astype(wp.dtype)
+
+
+_conv_phase_p.defvjp(_conv_phase_p_fwd, _conv_phase_p_bwd)
+
+
 def _conv_phase(x, kernel, to_shifted):
     """3x3/pad-1 conv as a phase-transition 2x2 conv. ``to_shifted`` consumes
     an ALIGNED tensor (Hb, Wb) and produces the SHIFTED grid (Hb+1, Wb+1);
     otherwise the inverse."""
     wp = _phase_kernel(kernel)
-    pad = [(1, 1), (1, 1)] if to_shifted else [(0, 0), (0, 0)]
-    return jax.lax.conv_general_dilated(
-        x, wp, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype)
+    return _conv_phase_p(x, wp, to_shifted)
 
 
 def _mask_shifted(x, c):
@@ -438,7 +488,9 @@ def _mask_shifted(x, c):
 def _pool2x2_phase(y):
     """2x2 max pool of an ALIGNED phase tensor: the window IS the phase
     block, so the pool is a max over the 4 phase groups -> (B, Hb, Wb, C)
-    unpacked at the pooled resolution."""
+    unpacked at the pooled resolution. (Lane-slice maxima measured ~1.4
+    ms/step slower, and a custom tie-splitting VJP ~0.7 ms/step slower,
+    than this reshape+reduce with AD on the CREMI bench.)"""
     b, hb, wb, c4 = y.shape
     return jnp.max(y.reshape(b, hb, wb, 4, c4 // 4), axis=3)
 
@@ -449,6 +501,8 @@ def _upsample2x_to_phase(x):
     each phase group is a 2-tap blend of the low-res tensor, so the full-res
     spatial layout is never materialized."""
     def sh(arr, axis, off):
+        # (the concat-based edge shift measured 0.6 ms/step slower than
+        # this pad+slice form on the CREMI bench)
         pad = [(0, 0)] * arr.ndim
         sl = [slice(None)] * arr.ndim
         n = arr.shape[axis]
@@ -1089,6 +1143,28 @@ def _bias_add_bwd(res, g):
 _bias_add.defvjp(_bias_add_fwd, _bias_add_bwd)
 
 
+@jax.custom_vjp
+def _relu_o(x):
+    """ReLU whose VJP residual is the OUTPUT instead of the input:
+    ``g * (out > 0)`` equals ``g * (x > 0)`` except at x == 0 where the
+    subgradient choice is arbitrary anyway. The AD-derived relu keeps x
+    alive for the backward, which makes the conv-epilogue fusions
+    materialize two full-size tensors (value + residual)."""
+    return jnp.maximum(x, 0)
+
+
+def _relu_o_fwd(x):
+    out = jnp.maximum(x, 0)
+    return out, out
+
+
+def _relu_o_bwd(out, g):
+    return (jnp.where(out > 0, g, 0),)
+
+
+_relu_o.defvjp(_relu_o_fwd, _relu_o_bwd)
+
+
 class _Conv2dFast(nn.Module):
     """2D conv layer that routes small-channel 3x3 convs through the
     width-packed lowering (see _conv2d_wp). Parameter layout matches
@@ -1320,7 +1396,7 @@ class ConvBlock(nn.Module):
         x = _ConvPhase(c_out, to_shifted=True, kernel_size=tuple(ks),
                        dtype=self.dtype, name="conv0")(parts, fold=folds0)
         x = _mask_shifted(x, c_out)
-        x = nn.relu(x)
+        x = _relu_o(x)
         folds1 = None
         if self.norm == "InstanceNorm":
             # exact statistics over the real pixels: zeroed out-of-image
@@ -1338,7 +1414,7 @@ class ConvBlock(nn.Module):
                 x = _mask_shifted(x, c_out)
         x = _ConvPhase(c_out, to_shifted=False, kernel_size=tuple(ks),
                        dtype=self.dtype, name="conv1")(x, fold=folds1)
-        x = nn.relu(x)
+        x = _relu_o(x)
         if keep_packed:
             return x, PHASE
         return _d2s_phase(x)
@@ -1403,7 +1479,7 @@ class ConvBlock(nn.Module):
                 conv_cls = _Conv3dFast if self.dim == 3 else _Conv2dFast
                 x = conv_cls(self.out_channels, tuple(ks), pad, pack=pk,
                              dtype=self.dtype, name=f"conv{i}")(parts, fold=folds)
-                x = nn.relu(x)
+                x = _relu_o(x)
                 continue
             folds = None
             if self.norm == "InstanceNorm":
@@ -1428,7 +1504,7 @@ class ConvBlock(nn.Module):
             else:
                 x = nn.Conv(self.out_channels, ks, padding=pad, dtype=self.dtype,
                             name=f"conv{i}")(parts[0])
-            x = nn.relu(x)
+            x = _relu_o(x)
         if keep_packed:
             return x, pk
         if pk > 1:
