@@ -105,6 +105,69 @@ class TestDefaultTrainer:
         assert trainer.epoch <= 3
 
 
+class TestStepsPerExecution:
+    """Multi-step lax.scan execution (trainer steps_per_execution kwarg)."""
+
+    def _trainer(self, model, loader, name, k):
+        return te.default_segmentation_trainer(
+            name, model, loader, loader, learning_rate=1e-3, mixed_precision=False,
+            device="cpu", logger=None, steps_per_execution=k,
+        )
+
+    def test_scan_execution_counts_and_tail(self, training_setup):
+        # 8 iterations with k=3: two full scan chunks + a 2-step tail fallback
+        model, loader = training_setup
+        trainer = self._trainer(model, loader, "test-spe", 3)
+        trainer.fit(iterations=8)
+        assert trainer.iteration == 8
+        assert os.path.exists("./checkpoints/test-spe/latest.ckpt")
+
+    def test_scan_matches_per_step_dispatch(self, training_setup):
+        # one k=4 scan chunk over fixed batches must reproduce four k=1
+        # dispatches: same math, different dispatch granularity (tolerances
+        # cover fusion-order float noise between the two executables)
+        import copy
+        import jax
+        import jax.numpy as jnp
+
+        from torch_em_tpu.loss import DiceLoss
+        from torch_em_tpu.trainer.optimizers import OptimizerSpec
+
+        model, loader = training_setup
+        # SGD: parity must hold at the parameter level too; adaptive optimizers
+        # (adamw eps-normalization) amplify executable-level float noise in the
+        # first steps, which would force meaninglessly loose tolerances
+        trainer = DefaultTrainer(
+            "test-spe-eq", loader, loader, model, loss=DiceLoss(), metric=DiceLoss(),
+            optimizer=OptimizerSpec("sgd", lr=1e-2), device="cpu",
+            mixed_precision=False, logger=None, steps_per_execution=4,
+        )
+        trainer._initialize(iterations=8, load_from_checkpoint=None)
+
+        rng = np.random.default_rng(0)
+        xs = jnp.asarray(rng.random((4, 2, 1, 32, 32), dtype=np.float32))
+        ys = jnp.asarray((rng.random((4, 2, 2, 32, 32)) > 0.5).astype(np.float32))
+        rngs = jnp.stack([jax.random.PRNGKey(i) for i in range(4)])
+
+        v0 = copy.deepcopy(jax.device_get(trainer.variables))
+        o0 = copy.deepcopy(jax.device_get(trainer.opt_state))
+
+        v_scan, o_scan, losses_scan, _ = trainer._scan_step(
+            trainer.variables, trainer.opt_state, xs, ys, rngs)
+
+        v, o = jax.device_put(v0), jax.device_put(o0)
+        losses_seq = []
+        for j in range(4):
+            v, o, loss, _ = trainer._train_step(v, o, xs[j], ys[j], rngs[j])
+            losses_seq.append(float(loss))
+
+        np.testing.assert_allclose(
+            np.asarray(losses_scan), np.asarray(losses_seq), rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(v_scan)),
+                        jax.tree_util.tree_leaves(jax.device_get(v))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 class TestProfiling:
     def test_mfu_counters(self, tmp_path):
         from torch_em_tpu.utils.profiling import StepTimer, estimate_step_flops, mfu, peak_flops

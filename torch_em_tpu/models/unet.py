@@ -104,13 +104,19 @@ def _instance_norm(x, eps=1e-5, stat_groups=None):
         try:
             from ..ops.pallas.norm import instance_norm_pallas, supports_pallas_norm
 
-            # param init runs under jax.default_device(cpu) where the TPU
-            # kernel cannot lower; skip pallas there
-            dd = jax.config.jax_default_device
-            on_cpu = dd is not None and getattr(dd, "platform", None) == "cpu"
-            if jax.default_backend() == "tpu" and not on_cpu and \
-                    supports_pallas_norm(x.shape, x.dtype):
-                return instance_norm_pallas(x, eps=eps)
+            if supports_pallas_norm(x.shape, x.dtype):
+                # select the branch at LOWERING time: the Pallas kernel only
+                # lowers on TPU, while the same traced program may run on CPU
+                # (param init under jax.default_device(cpu), device="cpu"
+                # training while the TPU plugin is registered, virtual-mesh
+                # tests).  platform_dependent lowers only the target
+                # platform's branch, so the CPU executable never sees the
+                # pallas_call.
+                return jax.lax.platform_dependent(
+                    x,
+                    tpu=lambda xx: instance_norm_pallas(xx, eps=eps),
+                    default=lambda xx: _norm_core(xx, 1, None, eps),
+                )
         except ImportError:
             pass
     return _norm_core(x, 1, stat_groups, eps)

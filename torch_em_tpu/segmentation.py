@@ -307,12 +307,15 @@ def default_segmentation_trainer(
     save_root: Optional[str] = None,
     compile_model=None,
     rank: Optional[int] = None,
+    steps_per_execution: int = 1,
 ):
     """Get a trainer for a segmentation network (reference segmentation.py:466).
 
     Creates an AdamW optimizer + ReduceLROnPlateau scheduler; Dice error is the
     default loss and metric. On TPU, ``mixed_precision`` selects bf16 compute
     with f32 parameters (no gradient scaler needed).
+    ``steps_per_execution > 1`` stages that many batches and runs them as one
+    jitted lax.scan dispatch (removes per-step host dispatch gaps on TPU).
     """
     optimizer = OptimizerSpec("adamw", lr=learning_rate, **optimizer_kwargs)
     scheduler = ReduceLROnPlateau(**scheduler_kwargs)
@@ -339,4 +342,5 @@ def default_segmentation_trainer(
         save_root=save_root,
         compile_model=compile_model,
         rank=rank,
+        steps_per_execution=steps_per_execution,
     )

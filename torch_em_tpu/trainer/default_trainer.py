@@ -98,6 +98,7 @@ class DefaultTrainer:
         rank: Optional[int] = None,
         seed: int = 42,
         device_label_transform=None,
+        steps_per_execution: int = 1,
     ):
         from .wandb_logger import WandbLogger
 
@@ -126,6 +127,12 @@ class DefaultTrainer:
         # raw labels and the device derives the targets — removes GIL-bound
         # host label transforms from the data path (SURVEY hard part #2)
         self.device_label_transform = device_label_transform
+        # multi-step execution: stage k batches and run ONE jitted lax.scan
+        # over them (the `steps_per_execution` pattern).  Eliminates the
+        # per-step host dispatch gap (~1.5 ms/step through the device tunnel);
+        # image logging coarsens to chunk boundaries (the last sub-step's
+        # prediction is logged).  k=1 keeps the classic per-batch dispatch.
+        self.steps_per_execution = max(1, int(steps_per_execution))
 
         self._iteration = 0
         self._epoch = 0
@@ -157,6 +164,7 @@ class DefaultTrainer:
             "logger": logger, "logger_kwargs": logger_kwargs, "id_": id_, "save_root": save_root,
             "compile_model": compile_model, "seed": seed,
             "device_label_transform": device_label_transform,
+            "steps_per_execution": steps_per_execution,
         }
         # subclasses with **kwargs must populate self._kwargs (reference :483-491)
         self._kwargs = getattr(self, "_kwargs", {})
@@ -229,6 +237,29 @@ class DefaultTrainer:
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._val_step = jax.jit(val_step)
+
+        if self.steps_per_execution > 1:
+            def scan_steps(variables, opt_state, xs, ys, rngs):
+                # first sub-step unrolled so the carried prediction buffer has
+                # a concrete shape without stacking k predictions in HBM
+                variables, opt_state, loss0, pred = train_step(
+                    variables, opt_state, xs[0], ys[0], rngs[0])
+
+                def body(carry, batch):
+                    v, o, _ = carry
+                    xb, yb, rb = batch
+                    v, o, loss_b, pred_b = train_step(v, o, xb, yb, rb)
+                    return (v, o, pred_b), loss_b
+
+                (variables, opt_state, pred), losses = jax.lax.scan(
+                    body, (variables, opt_state, pred),
+                    (xs[1:], ys[1:], rngs[1:]))
+                losses = jnp.concatenate([loss0[None], losses])
+                return variables, opt_state, losses, pred
+
+            self._scan_step = jax.jit(scan_steps, donate_argnums=(0, 1))
+        else:
+            self._scan_step = None
 
     def _reduce_grads(self, grads):
         """Hook for data-parallel gradient reduction (overridden by DP training)."""
@@ -442,6 +473,11 @@ class DefaultTrainer:
             scalar_buffer.clear()
 
         lr = get_learning_rate(self.opt_state)
+        # subclasses overriding _build_steps may not build a scan step; they
+        # silently run per-batch in that case
+        if self.steps_per_execution > 1 and getattr(self, "_scan_step", None) is not None:
+            return self._train_epoch_scan(
+                progress, lr, scalar_buffer, flush, log_mfu, profile_dir)
         for x, y in self.train_loader:
             x = self._to_device(x)
             y = self._to_device(y)
@@ -483,13 +519,110 @@ class DefaultTrainer:
 
         t_per_iter = (time.time() - t_per_iter) / max(n_iter, 1)
         if log_mfu and self._step_flops:
-            from ..utils.profiling import mfu
-
-            util = mfu(self._step_flops, t_per_iter, self.device)
-            if util is not None:
-                print(f"train step: {self._step_flops / 1e9:.1f} GFLOP, "
-                      f"{t_per_iter:.4f} s/it, MFU {100 * util:.1f}%")
+            self._print_mfu(t_per_iter)
         return t_per_iter
+
+    def _train_epoch_scan(self, progress, lr, scalar_buffer, flush, log_mfu,
+                          profile_dir=None):
+        """Multi-step execution: consume the loader in chunks of
+        ``steps_per_execution`` and run each chunk as one jitted lax.scan
+        dispatch.  Short tails (epoch end / max_iteration boundary) fall back
+        to per-batch dispatch so iteration counts stay exact.  With
+        ``profile_dir`` the second chunk (post-compile) is traced."""
+        k = self.steps_per_execution
+        n_iter = 0
+        chunk_idx = 0
+        tracing = False
+        t_per_iter = time.time()
+        loader_it = iter(self.train_loader)
+        exhausted = False
+        while not exhausted and self._iteration < self.max_iteration:
+            if profile_dir is not None:
+                if chunk_idx == 1 and not tracing:
+                    jax.block_until_ready(self.variables)
+                    jax.profiler.start_trace(profile_dir)
+                    tracing = True
+                elif chunk_idx == 2 and tracing:
+                    jax.block_until_ready(self.variables)
+                    jax.profiler.stop_trace()
+                    tracing = False
+            chunk_idx += 1
+            batches = []
+            budget = min(k, self.max_iteration - self._iteration)
+            while len(batches) < budget:
+                try:
+                    batches.append(next(loader_it))
+                except StopIteration:
+                    exhausted = True
+                    break
+            if not batches:
+                break
+
+            if len(batches) == k:
+                xs = self._to_device(np.stack([np.asarray(b[0]) for b in batches]))
+                ys = self._to_device(np.stack([np.asarray(b[1]) for b in batches]))
+                rngs = jnp.stack([self._next_rng() for _ in range(k)])
+                if log_mfu and self._step_flops is None:
+                    from ..utils.profiling import estimate_step_flops
+
+                    self._step_flops = estimate_step_flops(
+                        self._train_step, self.variables, self.opt_state,
+                        xs[0], ys[0], rngs[0]
+                    ) or 0.0
+                self.variables, self.opt_state, losses, pred = self._scan_step(
+                    self.variables, self.opt_state, xs, ys, rngs
+                )
+                want_images = any(
+                    (self._iteration + j) % self.log_image_interval == 0 for j in range(k)
+                )
+                for j in range(k):
+                    scalar_buffer.append((self._iteration + j, losses[j], lr, None))
+                if want_images:
+                    xb, yb = batches[-1]
+                    scalar_buffer[-1] = (
+                        self._iteration + k - 1, losses[k - 1], lr,
+                        (np.asarray(xb), np.asarray(yb), pred),
+                    )
+                self._iteration += k
+                n_iter += k
+                if progress is not None:
+                    progress.update(k)
+            else:
+                for xb, yb in batches:
+                    xb = self._to_device(xb)
+                    yb = self._to_device(yb)
+                    self.variables, self.opt_state, loss, pred = self._train_step(
+                        self.variables, self.opt_state, xb, yb, self._next_rng()
+                    )
+                    want_images = (self._iteration % self.log_image_interval) == 0
+                    scalar_buffer.append(
+                        (self._iteration, loss, lr, (xb, yb, pred) if want_images else None)
+                    )
+                    self._iteration += 1
+                    n_iter += 1
+                    if progress is not None:
+                        progress.update(1)
+                    if self._iteration >= self.max_iteration:
+                        break
+            if len(scalar_buffer) >= 50:
+                flush()
+        flush()
+        if tracing:
+            jax.block_until_ready(self.variables)
+            jax.profiler.stop_trace()
+
+        t_per_iter = (time.time() - t_per_iter) / max(n_iter, 1)
+        if log_mfu and self._step_flops:
+            self._print_mfu(t_per_iter)
+        return t_per_iter
+
+    def _print_mfu(self, t_per_iter):
+        from ..utils.profiling import mfu
+
+        util = mfu(self._step_flops, t_per_iter, self.device)
+        if util is not None:
+            print(f"train step: {self._step_flops / 1e9:.1f} GFLOP, "
+                  f"{t_per_iter:.4f} s/it, MFU {100 * util:.1f}%")
 
     def _validate(self):
         metric_list, loss_list = [], []
