@@ -168,6 +168,42 @@ class TestStepsPerExecution:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+class _OpaqueKwarg:
+    """No init_kwargs, not importable as a factory — only pickle can carry it."""
+
+    def __init__(self):
+        self.threshold = 0.75
+
+
+class TestSerializationPickleFallback:
+    def test_round_trip(self):
+        from torch_em_tpu.trainer.serialization import (
+            deserialize_value, serialize_value, serialize_value_or_pickle,
+        )
+
+        value = _OpaqueKwarg()
+        with pytest.raises(ValueError):
+            serialize_value(value)
+        spec = serialize_value_or_pickle(value)
+        assert "__pickle__" in spec
+        back = deserialize_value(spec)
+        assert isinstance(back, _OpaqueKwarg) and back.threshold == 0.75
+
+    def test_locals_still_rejected(self):
+        from torch_em_tpu.trainer.serialization import serialize_value_or_pickle
+
+        def local_fn(x):
+            return x
+
+        class Holder:
+            pass
+
+        h = Holder()
+        h.fn = local_fn  # closures/locals defeat pickle too -> caller drops it
+        with pytest.raises(ValueError):
+            serialize_value_or_pickle(h)
+
+
 class TestProfiling:
     def test_mfu_counters(self, tmp_path):
         from torch_em_tpu.utils.profiling import StepTimer, estimate_step_flops, mfu, peak_flops

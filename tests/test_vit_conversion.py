@@ -210,14 +210,13 @@ class TestSamConversion:
         np.testing.assert_allclose(np.asarray(out_jax), out_torch, atol=2e-4, rtol=2e-3)
         assert len(intermediates) == 2
 
-    def test_unsupported_backbones_raise(self, tmp_path):
-        import pytest as _pytest
+    def test_all_backbones_have_converters(self, tmp_path):
+        # every reference backbone family routes to a conversion path now
+        # (dinov2/3: tests/test_dino_conversion.py, scalemae:
+        # tests/test_scalemae_conversion.py, sam2: tests/test_hiera_conversion.py)
+        from torch_em_tpu.models.vit import UNSUPPORTED_CONVERSION_BACKBONES
 
-        from torch_em_tpu.models.vit import load_sam_weights
-
-        for backbone in ("scalemae", "dinov2", "dinov3"):
-            with _pytest.raises(NotImplementedError):
-                load_sam_weights({}, "/nonexistent.pt", backbone=backbone)
+        assert UNSUPPORTED_CONVERSION_BACKBONES == ()
 
     def test_strict_mode_rejects_mismatched_checkpoint(self, tmp_path):
         import jax

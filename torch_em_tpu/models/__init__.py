@@ -7,6 +7,8 @@ from .resnet3d import (
     resnext3d_50_32x4d, resnext3d_101_32x8d, resnext3d_101_64x4d,
     wide_resnet3d_50_2, wide_resnet3d_101_2,
 )
+from .dino import DinoV2ViT, DinoV3ViT
+from .scalemae import ScaleMAEViT
 from .unet import AnisotropicUNet, POSTPROCESSING, UNet2d, UNet3d, UNetModule
 from .unetr import UNETR, UNETR2D, UNETR3D, DepthStripPooling
 from .vim import get_vim_encoder, get_vimunet_model, ViM

@@ -241,7 +241,7 @@ BACKBONE_DEFAULTS = {
 
 # backbones whose reference geometry is NOT faithfully implemented yet;
 # checkpoint conversion refuses these rather than silently diverging
-UNSUPPORTED_CONVERSION_BACKBONES = ("scalemae", "dinov2", "dinov3")
+UNSUPPORTED_CONVERSION_BACKBONES = ()
 
 
 def get_vision_transformer(backbone: str = "sam", model: str = "vit_b",
@@ -263,6 +263,28 @@ def get_vision_transformer(backbone: str = "sam", model: str = "vit_b",
         cfg = dict(HIERA_CONFIGS[model])
         cfg.update(kwargs)
         return HieraSam2(img_size=img_size, in_chans=in_chans, dtype=dtype, **cfg)
+    if backbone in ("dinov2", "dinov3"):
+        from .dino import DINOV2_CONFIGS, DINOV3_CONFIGS, DinoV2ViT, DinoV3ViT
+
+        configs, cls = ((DINOV2_CONFIGS, DinoV2ViT) if backbone == "dinov2"
+                        else (DINOV3_CONFIGS, DinoV3ViT))
+        if model not in configs:
+            raise ValueError(
+                f"'{model}' is not supported by {backbone}. Currently, "
+                f"{sorted(configs)} are supported.")
+        cfg = dict(configs[model])
+        cfg.update(kwargs)
+        return cls(img_size=img_size, in_chans=in_chans, dtype=dtype, **cfg)
+    if backbone == "scalemae":
+        from .scalemae import SCALEMAE_CONFIGS, ScaleMAEViT
+
+        if model not in SCALEMAE_CONFIGS:
+            raise ValueError(
+                f"'{model}' is not supported by scalemae. Currently, "
+                f"{sorted(SCALEMAE_CONFIGS)} are supported.")
+        cfg = dict(SCALEMAE_CONFIGS[model])
+        cfg.update(kwargs)
+        return ScaleMAEViT(in_chans=in_chans, dtype=dtype, **cfg)
     if model not in VIT_CONFIGS:
         raise ValueError(f"Unknown vit model {model}; available: {sorted(VIT_CONFIGS)}")
     cfg = dict(VIT_CONFIGS[model])
@@ -280,8 +302,10 @@ def load_sam_weights(variables, checkpoint_path: str, backbone: str = "sam",
     a converted encoder must compute the same function as the source.
 
     ``backbone='sam2'`` routes to :func:`..hiera.load_sam2_weights` (Hiera
-    trunk + FPN neck). Backbones whose reference geometry is not implemented
-    (scalemae, dinov2/3) are rejected outright.
+    trunk + FPN neck), ``'dinov2'``/``'dinov3'`` to
+    :func:`..dino.load_dino_weights` and ``'scalemae'`` to
+    :func:`..scalemae.load_scalemae_weights` — every reference backbone
+    family now has a verified converter.
     """
     import warnings
 
@@ -290,12 +314,20 @@ def load_sam_weights(variables, checkpoint_path: str, backbone: str = "sam",
     if backbone in UNSUPPORTED_CONVERSION_BACKBONES:
         raise NotImplementedError(
             f"Checkpoint conversion for backbone '{backbone}' is not supported: its reference "
-            "geometry (resolution-aware sincos / DINO) is not implemented natively yet. "
-            "Supported: 'sam', 'sam2', 'sam3', 'cellpose_sam', 'mae'.")
+            "geometry is not implemented natively yet.")
     if backbone == "sam2":
         from .hiera import load_sam2_weights
 
         return load_sam2_weights(variables, checkpoint_path, strict=strict)
+    if backbone in ("dinov2", "dinov3"):
+        from .dino import load_dino_weights
+
+        return load_dino_weights(variables, checkpoint_path, backbone=backbone,
+                                 strict=strict)
+    if backbone == "scalemae":
+        from .scalemae import load_scalemae_weights
+
+        return load_scalemae_weights(variables, checkpoint_path, strict=strict)
 
     state = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
     if "model" in state:

@@ -35,7 +35,7 @@ from tqdm import tqdm
 
 from ..models.base import Model
 from .optimizers import OptimizerSpec, ReduceLROnPlateau, get_learning_rate
-from .serialization import deserialize_value, serialize_value
+from .serialization import deserialize_value, serialize_value, serialize_value_or_pickle
 from .tensorboard_logger import TensorboardLogger
 
 
@@ -328,7 +328,7 @@ class DefaultTrainer:
                 init[k] = None if v is None else serialize_value(v)
                 continue
             try:
-                init[k] = serialize_value(v)
+                init[k] = serialize_value_or_pickle(v)
             except ValueError as e:
                 warnings.warn(f"Could not serialize trainer kwarg {k}: {e}")
                 init[k] = None

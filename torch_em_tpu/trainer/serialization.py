@@ -22,7 +22,8 @@ from typing import Any, Dict
 
 import numpy as np
 
-__all__ = ["serialize_value", "deserialize_value", "resolve_path", "path_of"]
+__all__ = ["serialize_value", "serialize_value_or_pickle", "deserialize_value",
+           "resolve_path", "path_of"]
 
 
 def path_of(obj) -> str:
@@ -98,6 +99,32 @@ def serialize_value(value) -> Any:
     raise ValueError(f"Cannot serialize value of type {type(value)}: {value!r}")
 
 
+def serialize_value_or_pickle(value) -> Any:
+    """``serialize_value`` with a pickle fallback.
+
+    The manifest format prefers importable references (reconstructable,
+    human-readable, robust across refactors). Values that cannot be expressed
+    that way — e.g. loaders wrapping objects without ``init_kwargs`` — fall
+    back to an inline pickle blob, mirroring the reference trainer's
+    pickle-based init storage (reference default_trainer.py:73-105) so
+    ``from_checkpoint`` reconstructs the same set of kwargs the reference
+    does. Values that pickle cannot handle either (closures, locals) still
+    raise ValueError for the caller to warn-and-drop.
+    """
+    try:
+        return serialize_value(value)
+    except ValueError:
+        import base64
+        import pickle
+
+        try:
+            blob = pickle.dumps(value)
+        except Exception as e:
+            raise ValueError(
+                f"Cannot serialize {type(value)} by dotted path nor pickle: {e}")
+        return {"__pickle__": base64.b64encode(blob).decode("ascii")}
+
+
 def deserialize_value(spec) -> Any:
     if spec is None or isinstance(spec, (bool, int, float, str)):
         return spec
@@ -116,6 +143,11 @@ def deserialize_value(spec) -> Any:
             return np.asarray(spec["__ndarray__"], dtype=spec["dtype"])
         if "__callable__" in spec:
             return resolve_path(spec["__callable__"])
+        if "__pickle__" in spec:
+            import base64
+            import pickle
+
+            return pickle.loads(base64.b64decode(spec["__pickle__"]))
         if "__partial__" in spec:
             import functools
 
