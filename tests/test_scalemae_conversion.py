@@ -128,6 +128,113 @@ class TorchScaleMAE(tnn.Module):
         return out
 
 
+class TorchMAE(tnn.Module):
+    """Minimal MAE encoder (reference vit.py:212 ViT_MAE): cls token +
+    LEARNED pos embed over [cls + patches], chunked intermediates kept [:3],
+    no final norm."""
+
+    def __init__(self, img_size, patch_size, dim, depth, num_heads, mlp_ratio):
+        super().__init__()
+        self.img_size, self.patch_size = img_size, patch_size
+        self.dim, self.depth = dim, depth
+        g = img_size // patch_size
+        self.patch_embed = tnn.Conv2d(3, dim, patch_size, stride=patch_size)
+        self.cls_token = tnn.Parameter(torch.randn(1, 1, dim))
+        self.pos_embed = tnn.Parameter(torch.randn(1, g * g + 1, dim))
+        self.blocks = tnn.ModuleList(
+            [TorchTimmBlock(dim, num_heads, mlp_ratio) for _ in range(depth)])
+
+    def forward(self, x):
+        b = x.shape[0]
+        g = self.img_size // self.patch_size
+        tok = self.patch_embed(x).flatten(2).transpose(1, 2)
+        tok = torch.cat([self.cls_token.expand(b, -1, -1), tok], dim=1)
+        tok = tok + self.pos_embed
+
+        chunk = self.depth // 4
+        keep = {chunk - 1, 2 * chunk - 1, 3 * chunk - 1, 4 * chunk - 1}
+
+        def to_grid(t):
+            return t[:, 1:].reshape(b, g, g, self.dim).permute(0, 3, 1, 2)
+
+        inter = []
+        for i, blk in enumerate(self.blocks):
+            tok = blk(tok)
+            if i in keep:
+                inter.append(to_grid(tok))
+        return to_grid(tok), inter[:3]
+
+    def timm_state_dict(self):
+        out = {"cls_token": self.cls_token.data,
+               "pos_embed": self.pos_embed.data,
+               "patch_embed.proj.weight": self.patch_embed.weight.data,
+               "patch_embed.proj.bias": self.patch_embed.bias.data,
+               # pretrain-checkpoint artifacts the converter must skip
+               "mask_token": torch.zeros(1, 1, self.dim),
+               "decoder_embed.weight": torch.zeros(self.dim, self.dim),
+               "norm.weight": torch.ones(self.dim),
+               "norm.bias": torch.zeros(self.dim)}
+        for i, blk in enumerate(self.blocks):
+            p = f"blocks.{i}"
+            out[f"{p}.norm1.weight"] = blk.norm1.weight.data
+            out[f"{p}.norm1.bias"] = blk.norm1.bias.data
+            out[f"{p}.attn.qkv.weight"] = blk.qkv.weight.data
+            out[f"{p}.attn.qkv.bias"] = blk.qkv.bias.data
+            out[f"{p}.attn.proj.weight"] = blk.proj.weight.data
+            out[f"{p}.attn.proj.bias"] = blk.proj.bias.data
+            out[f"{p}.norm2.weight"] = blk.norm2.weight.data
+            out[f"{p}.norm2.bias"] = blk.norm2.bias.data
+            out[f"{p}.mlp.fc1.weight"] = blk.fc1.weight.data
+            out[f"{p}.mlp.fc1.bias"] = blk.fc1.bias.data
+            out[f"{p}.mlp.fc2.weight"] = blk.fc2.weight.data
+            out[f"{p}.mlp.fc2.bias"] = blk.fc2.bias.data
+        return out
+
+
+class TestMAEConversion:
+    def test_conversion_matches_torch(self, tmp_path):
+        from torch_em_tpu.models.scalemae import MAEViT, load_mae_weights
+
+        tm = TorchMAE(img_size=32, patch_size=8, dim=32, depth=8,
+                      num_heads=2, mlp_ratio=2).eval()
+        fm = MAEViT(img_size=32, patch_size=8, embed_dim=32, depth=8,
+                    num_heads=2, mlp_ratio=2)
+
+        ckpt = tmp_path / "mae.pth"
+        torch.save({"model": tm.timm_state_dict()}, ckpt)
+
+        x = np.random.default_rng(3).standard_normal((2, 3, 32, 32)).astype("float32")
+        variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        variables = load_mae_weights(variables, str(ckpt))
+
+        out_f, inter_f = fm.apply(variables, jnp.asarray(x))
+        with torch.no_grad():
+            out_t, inter_t = tm(torch.from_numpy(x))
+
+        np.testing.assert_allclose(np.asarray(out_f), out_t.numpy(), atol=3e-5)
+        assert len(inter_f) == len(inter_t) == 3
+        for a, b in zip(inter_f, inter_t):
+            np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=3e-5)
+
+    def test_pos_embed_size_mismatch_rejected(self):
+        from torch_em_tpu.models.scalemae import MAEViT, load_mae_weights
+
+        fm = MAEViT(img_size=32, patch_size=8, embed_dim=16, depth=4,
+                    num_heads=2, mlp_ratio=2)
+        x = jnp.zeros((1, 3, 32, 32), jnp.float32)
+        variables = fm.init(jax.random.PRNGKey(0), x)
+        bad = {"pos_embed": np.zeros((1, 99, 16), np.float32)}
+        with pytest.raises(ValueError):
+            load_mae_weights(variables, bad)
+
+    def test_factory_routes_mae(self):
+        from torch_em_tpu.models.scalemae import MAEViT
+        from torch_em_tpu.models.vit import get_vision_transformer
+
+        m = get_vision_transformer(backbone="mae", model="vit_h", img_size=224)
+        assert isinstance(m, MAEViT) and m.patch_size == 14
+
+
 class TestScaleMAEConversion:
     def test_conversion_matches_torch(self, tmp_path):
         from torch_em_tpu.models.scalemae import ScaleMAEViT, load_scalemae_weights

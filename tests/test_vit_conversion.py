@@ -175,6 +175,85 @@ class TImageEncoder(tnn.Module):
         return self.neck(x.permute(0, 3, 1, 2))
 
 
+class TCellposeEncoder(tnn.Module):
+    """CellposeSAM-style encoder (reference vit.py:120): SAM geometry with a
+    small patch size, ALL blocks global, rel-pos tables kept at their
+    pretraining sizes (interpolated at runtime), chunked intermediates."""
+
+    def __init__(self, img_size=32, patch_size=8, in_chans=3, embed_dim=64, depth=4,
+                 num_heads=2, mlp_ratio=2.0, out_chans=32, table_sizes=(3, 8, 3, 8)):
+        super().__init__()
+        grid = img_size // patch_size
+        self.patch_embed = tnn.Sequential()
+        self.patch_embed.proj = tnn.Conv2d(in_chans, embed_dim, patch_size, patch_size)
+        self.pos_embed = tnn.Parameter(torch.zeros(1, grid, grid, embed_dim))
+        self.blocks = tnn.ModuleList([
+            TBlock(embed_dim, num_heads, mlp_ratio, 0, use_rel_pos=True,
+                   input_size=(n, n))     # table base size != running grid
+            for n in table_sizes
+        ])
+        self.neck = tnn.Sequential(
+            tnn.Conv2d(embed_dim, out_chans, 1, bias=False),
+            TLayerNorm2d(out_chans),
+            tnn.Conv2d(out_chans, out_chans, 3, padding=1, bias=False),
+            TLayerNorm2d(out_chans),
+        )
+
+    def forward(self, x):
+        x = self.patch_embed.proj(x).permute(0, 2, 3, 1)
+        x = x + self.pos_embed
+        inter = []
+        chunk = len(self.blocks) // 4
+        keep = {chunk - 1, 2 * chunk - 1, 3 * chunk - 1, 4 * chunk - 1}
+        for i, blk in enumerate(self.blocks):
+            x = blk(x)
+            if i in keep:
+                inter.append(x.permute(0, 3, 1, 2))
+        return self.neck(x.permute(0, 3, 1, 2)), inter
+
+
+class TestCellposeSamConversion:
+    def test_conversion_matches_torch(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from torch_em_tpu.models.vit import ViT, load_sam_weights
+
+        torch.manual_seed(1)
+        enc = TCellposeEncoder()
+        with torch.no_grad():
+            for p in enc.parameters():
+                p.normal_(0.0, 0.05)
+        ckpt = tmp_path / "cellpose_sam.pt"
+        torch.save(enc.state_dict(), ckpt)
+
+        # all-global attention over the patch-8 grid; table base sizes kept
+        # at their "pretraining" values and interpolated at call time
+        vit = ViT(img_size=32, patch_size=8, embed_dim=64, depth=4, num_heads=2,
+                  mlp_ratio=2.0, out_chans=32, window_size=0, use_rel_pos=True,
+                  rel_pos_table_sizes=(3, 8, 3, 8), global_attn_indexes=(1, 3))
+        x = np.random.default_rng(7).standard_normal((2, 3, 32, 32)).astype("float32")
+        variables = vit.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        variables = load_sam_weights(variables, str(ckpt), backbone="cellpose_sam")
+
+        out_jax, _ = vit.apply(variables, jnp.asarray(x))
+        with torch.no_grad():
+            out_torch, _ = enc(torch.from_numpy(x))
+        np.testing.assert_allclose(np.asarray(out_jax), out_torch.numpy(),
+                                   atol=2e-4, rtol=2e-3)
+
+    def test_factory_config(self):
+        from torch_em_tpu.models.vit import get_vision_transformer
+
+        m = get_vision_transformer(backbone="cellpose_sam", model="vit_l",
+                                   img_size=256)
+        assert m.patch_size == 8 and m.window_size == 0 and m.use_rel_pos
+        # SAM vit_l global blocks keep 64-grid tables, windowed-origin keep 14
+        assert m.rel_pos_table_sizes[5] == 64 and m.rel_pos_table_sizes[0] == 14
+        with pytest.raises(ValueError):
+            get_vision_transformer(backbone="cellpose_sam", model="vit_b")
+
+
 class TestSamConversion:
     def _build(self):
         torch.manual_seed(0)
@@ -210,13 +289,31 @@ class TestSamConversion:
         np.testing.assert_allclose(np.asarray(out_jax), out_torch, atol=2e-4, rtol=2e-3)
         assert len(intermediates) == 2
 
-    def test_all_backbones_have_converters(self, tmp_path):
-        # every reference backbone family routes to a conversion path now
-        # (dinov2/3: tests/test_dino_conversion.py, scalemae:
-        # tests/test_scalemae_conversion.py, sam2: tests/test_hiera_conversion.py)
-        from torch_em_tpu.models.vit import UNSUPPORTED_CONVERSION_BACKBONES
+    def test_backbone_converter_coverage(self, tmp_path):
+        # every reference backbone family routes to a verified conversion path
+        # (dinov2/3: tests/test_dino_conversion.py, mae/scalemae:
+        # tests/test_scalemae_conversion.py, sam2: tests/test_hiera_conversion.py,
+        # cellpose_sam: this file) EXCEPT sam3, whose PE/vitdet geometry cannot
+        # be verified without the sam3 package source — conversion refuses
+        # loudly instead of silently approximating
+        from torch_em_tpu.models.vit import (
+            UNSUPPORTED_CONVERSION_BACKBONES, load_sam_weights,
+        )
 
-        assert UNSUPPORTED_CONVERSION_BACKBONES == ()
+        assert UNSUPPORTED_CONVERSION_BACKBONES == ("sam3",)
+        with pytest.raises(NotImplementedError):
+            load_sam_weights({}, "/nonexistent.pt", backbone="sam3")
+
+    def test_sam3_factory_dims(self):
+        # the factory still builds the reference's vit_pe shape for
+        # from-scratch training (reference vit.py:866-877)
+        from torch_em_tpu.models.vit import get_vision_transformer
+
+        m = get_vision_transformer(backbone="sam3", model="vit_pe")
+        assert m.embed_dim == 1024 and m.depth == 32 and m.patch_size == 14
+        assert m.window_size == 24 and not m.use_rel_pos and m.img_size == 1008
+        with pytest.raises(ValueError):
+            get_vision_transformer(backbone="sam3", model="vit_b")
 
     def test_strict_mode_rejects_mismatched_checkpoint(self, tmp_path):
         import jax

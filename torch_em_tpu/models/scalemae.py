@@ -129,6 +129,115 @@ SCALEMAE_CONFIGS = {
 }
 
 
+class MAEViT(nn.Module):
+    """MAE encoder (reference vit.py:212 ``ViT_MAE``): a timm ViT with cls
+    token and learned position embeddings over [cls + patches]; block outputs
+    collected in depth/4 chunks, first three returned for UNETR skips; NO
+    final norm (reference forward_features:253-277). Call:
+    x (N, C, H, W) -> (grid (N, embed_dim, H/p, W/p), [3 intermediate grids]).
+
+    The learned pos embed is bicubic-interpolated (patch part only) when the
+    input grid differs from the pretraining grid."""
+
+    img_size: int = 1024
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = x.shape[0]
+        h = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)
+        h = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size), name="patch_embed")(h)
+        gh, gw = h.shape[1], h.shape[2]
+        tokens = h.reshape(b, gh * gw, self.embed_dim)
+
+        cls_token = self.param("cls_token", nn.initializers.normal(0.02),
+                               (1, 1, self.embed_dim))
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (b, 1, self.embed_dim)).astype(self.dtype),
+             tokens], axis=1)
+
+        grid0 = self.img_size // self.patch_size
+        pos_embed = self.param("pos_embed", nn.initializers.normal(0.02),
+                               (1, grid0 * grid0 + 1, self.embed_dim))
+        if (gh, gw) != (grid0, grid0):
+            cls_pe, patch_pe = pos_embed[:, :1], pos_embed[:, 1:]
+            patch_pe = jax.image.resize(
+                patch_pe.reshape(1, grid0, grid0, self.embed_dim),
+                (1, gh, gw, self.embed_dim), method="cubic",
+            ).reshape(1, gh * gw, self.embed_dim)
+            pos_embed = jnp.concatenate([cls_pe, patch_pe], axis=1)
+        tokens = tokens + pos_embed.astype(self.dtype)
+
+        def to_grid(t):
+            return jnp.transpose(
+                t[:, 1:].reshape(b, gh, gw, self.embed_dim), (0, 3, 1, 2)
+            ).astype(jnp.float32)
+
+        chunk = self.depth // 4
+        chunk_idx = {chunk - 1, 2 * chunk - 1, 3 * chunk - 1, 4 * chunk - 1}
+
+        intermediates = []
+        for i in range(self.depth):
+            tokens = _DinoBlock(self.num_heads, self.mlp_ratio, eps=1e-6,
+                                layerscale=False, dtype=self.dtype,
+                                name=f"block{i}")(tokens)
+            if i in chunk_idx and len(intermediates) < 3:
+                intermediates.append(to_grid(tokens))
+
+        # reference ViT_MAE applies no final norm and keeps list[:3]
+        return to_grid(tokens), intermediates
+
+
+MAE_CONFIGS = {
+    # reference vit.py:879-896 — vit_h uses patch_size 14
+    "vit_b": dict(embed_dim=768, depth=12, num_heads=12, patch_size=16),
+    "vit_l": dict(embed_dim=1024, depth=24, num_heads=16, patch_size=16),
+    "vit_h": dict(embed_dim=1280, depth=32, num_heads=16, patch_size=14),
+}
+
+
+def load_mae_weights(variables, checkpoint_path, strict: bool = True):
+    """Convert an MAE torch checkpoint (facebookresearch/mae pretrain or
+    fine-tune layout) into the native flax params. Unlike ScaleMAE the
+    learned ``pos_embed`` IS loaded (interpolated at call time for other
+    input sizes); decoder tensors, ``mask_token``, the unused trailing
+    ``norm``/``fc_norm`` and classification heads are skipped."""
+    if isinstance(checkpoint_path, dict):
+        state = {k: np.asarray(v) for k, v in checkpoint_path.items()}
+    else:
+        import torch
+
+        state = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+        if isinstance(state, dict) and "model" in state and isinstance(state["model"], dict):
+            state = state["model"]
+        state = {k: np.asarray(v.detach().float().numpy()) for k, v in state.items()}
+
+    params = jax.device_get(variables["params"])
+    target_pe = params["pos_embed"]
+    if "pos_embed" in state and state["pos_embed"].shape != target_pe.shape:
+        raise ValueError(
+            f"pos_embed shape {state['pos_embed'].shape} does not match the model "
+            f"({target_pe.shape}); build the encoder with the checkpoint's img_size.")
+
+    # the shared converter handles everything but pos_embed (which it treats
+    # as a functional-embedding artifact and skips)
+    out = load_scalemae_weights({"params": params}, state, strict=strict)
+    params = out["params"]
+
+    if "pos_embed" in state:
+        params["pos_embed"] = state["pos_embed"].astype(target_pe.dtype)
+    elif strict:
+        raise KeyError("Checkpoint is missing key 'pos_embed'")
+    return {"params": params}
+
+
 def load_scalemae_weights(variables, checkpoint_path, strict: bool = True):
     """Convert a ScaleMAE torch checkpoint (timm VisionTransformer layout)
     into the native flax params. The learned ``pos_embed`` of plain-MAE

@@ -81,10 +81,10 @@ class UNETRModule(nn.Module):
             # apply_neck=False: like the reference (vit.py:76 default), UNETR
             # consumes the RAW embed_dim features; the SAM family's neck
             # params still exist for strict checkpoint conversion.
-            # neck-less encoder families (sam2/dino/scalemae) take no
-            # apply_neck kwarg
-            extra = ({} if self.backbone in ("sam2", "dinov2", "dinov3", "scalemae")
-                     else {"apply_neck": False})
+            # neck-less encoder families take no apply_neck kwarg; only the
+            # SAM-family grid ViTs carry (and skip) a neck
+            extra = ({"apply_neck": False}
+                     if self.backbone in ("sam", "sam3", "cellpose_sam") else {})
             self.encoder = get_vision_transformer(
                 backbone=self.backbone, model=self.encoder_name, img_size=self.img_size,
                 in_chans=self.in_chans, dtype=self.dtype, **extra,

@@ -12,9 +12,11 @@ transformer blocks with 14x14 windowed attention everywhere except the
 ``global_attn_indexes`` blocks, decomposed relative position embeddings in
 every attention, and the 256-channel neck. The ``backbone`` argument selects
 the configuration family; pretrained torch checkpoints convert with
-:func:`load_sam_weights` (torch-cpu reads them). Backbones whose geometries
-are not yet implemented (sam2/Hiera, scalemae, dinov2/3) raise on conversion
-instead of silently producing a different function.
+:func:`load_sam_weights` (torch-cpu reads them), which routes each family to
+its verified converter: SAM-geometry ViTs here, Hiera/SAM2 in
+``models/hiera.py``, DINOv2/v3 in ``models/dino.py``, MAE/ScaleMAE in
+``models/scalemae.py``. Every converter is numerically verified against a
+torch implementation on random weights (tests/test_*_conversion.py).
 """
 
 from typing import Any, Optional, Sequence, Tuple
@@ -120,6 +122,11 @@ class _Block(nn.Module):
     window_size: int = 0  # 0 = global attention
     use_rel_pos: bool = False
     grid_size: int = 64  # feature-grid side for global-block rel-pos tables
+    # override for the rel-pos TABLE base size when it differs from the
+    # attention span (CellposeSAM keeps SAM's original table sizes while
+    # running all blocks globally; _get_rel_pos interpolates at call time,
+    # reference vit.py:125-131)
+    rel_pos_size: Optional[int] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -131,7 +138,8 @@ class _Block(nn.Module):
             h, pad_hw = _window_partition(h, self.window_size)
         attn = _Attention(
             self.num_heads, use_rel_pos=self.use_rel_pos,
-            rel_pos_size=self.window_size if self.window_size > 0 else self.grid_size,
+            rel_pos_size=self.rel_pos_size if self.rel_pos_size is not None
+            else (self.window_size if self.window_size > 0 else self.grid_size),
             dtype=self.dtype, name="attn",
         )(h)
         if self.window_size > 0:
@@ -172,6 +180,10 @@ class ViT(nn.Module):
     apply_neck: bool = True
     window_size: int = 0    # window size of non-global blocks (14 for SAM)
     use_rel_pos: bool = False
+    # per-block rel-pos TABLE base sizes when they differ from the attention
+    # span (CellposeSAM: tables stay at SAM's 14/64 sizes while every block
+    # attends globally over the 8-pixel-patch grid; interpolated at call time)
+    rel_pos_table_sizes: Optional[Tuple[int, ...]] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -198,6 +210,8 @@ class ViT(nn.Module):
                 window_size=0 if is_global else self.window_size,
                 use_rel_pos=self.use_rel_pos,
                 grid_size=self.img_size // self.patch_size,
+                rel_pos_size=None if self.rel_pos_table_sizes is None
+                else self.rel_pos_table_sizes[i],
                 dtype=self.dtype, name=f"block{i}",
             )(h)
             if i in self.global_attn_indexes:
@@ -230,18 +244,24 @@ VIT_CONFIGS = {
 # MAE-style backbones use plain global attention without rel-pos.
 BACKBONE_DEFAULTS = {
     "sam": dict(use_neck=True, window_size=14, use_rel_pos=True),
-    "sam3": dict(use_neck=True, window_size=14, use_rel_pos=True),
-    "cellpose_sam": dict(use_neck=True, window_size=14, use_rel_pos=True),
-    "sam2": dict(),                    # Hiera trunk + FPN neck, models/hiera.py
-    "mae": dict(use_neck=False),
-    "scalemae": dict(use_neck=False),  # true geometry adds resolution-aware sincos pos-embeds
-    "dinov2": dict(use_neck=False),
-    "dinov3": dict(use_neck=False),
+    "sam3": dict(),          # vit_pe dims; factory branch below (approximate)
+    "cellpose_sam": dict(),  # vit_l @ patch 8, all-global; factory branch below
+    "sam2": dict(),       # Hiera trunk + FPN neck, models/hiera.py
+    "mae": dict(),        # timm ViT with cls token, models/scalemae.py MAEViT
+    "scalemae": dict(),   # resolution-aware sincos pos-embeds, models/scalemae.py
+    "dinov2": dict(),     # models/dino.py
+    "dinov3": dict(),     # models/dino.py
 }
 
 # backbones whose reference geometry is NOT faithfully implemented yet;
 # checkpoint conversion refuses these rather than silently diverging
-UNSUPPORTED_CONVERSION_BACKBONES = ()
+# sam3's perception-encoder/vitdet geometry (interpolated 2D RoPE inside the
+# windowed attentions + ln_pre) lives in the external sam3 package; without
+# its source a native re-implementation cannot be verified, so conversion is
+# refused rather than silently producing a different function. The factory
+# still builds an encoder at the reference's vit_pe dimensions for
+# from-scratch training.
+UNSUPPORTED_CONVERSION_BACKBONES = ("sam3",)
 
 
 def get_vision_transformer(backbone: str = "sam", model: str = "vit_b",
@@ -285,6 +305,51 @@ def get_vision_transformer(backbone: str = "sam", model: str = "vit_b",
         cfg = dict(SCALEMAE_CONFIGS[model])
         cfg.update(kwargs)
         return ScaleMAEViT(in_chans=in_chans, dtype=dtype, **cfg)
+    if backbone == "sam3":
+        # reference vit.py:866-877: SAM3 uses the perception-encoder ViT
+        # ("vit_pe": 1008px, patch 14, depth 32, mlp 4.625, window 24, global
+        # blocks (7,15,23,31), no rel-pos, no neck). The PE-internal RoPE +
+        # ln_pre are NOT reproduced (see UNSUPPORTED_CONVERSION_BACKBONES);
+        # this encoder matches the reference's shapes for from-scratch use.
+        if model != "vit_pe":
+            raise ValueError(
+                "'sam3' does not have multiple model configurations. "
+                "Please use 'vit_pe' as the model configuration.")
+        cfg = dict(embed_dim=1024, depth=32, num_heads=16, mlp_ratio=4.625,
+                   patch_size=14, global_attn_indexes=(7, 15, 23, 31),
+                   window_size=24, use_rel_pos=False, use_neck=False)
+        cfg.update(kwargs)
+        if img_size == 1024:  # the reference hard-codes 1008 for sam3
+            img_size = 1008
+        return ViT(img_size=img_size, in_chans=in_chans, dtype=dtype, **cfg)
+    if backbone == "cellpose_sam":
+        # CellposeSAM (reference vit.py:120): the SAM vit_l encoder with an
+        # 8-pixel patch embed, pos embeds subsampled to the bsize/8 grid, and
+        # EVERY block switched to global attention while the rel-pos tables
+        # keep SAM's original 14/64 base sizes (interpolated at call time).
+        if model != "vit_l":
+            raise ValueError(
+                f"'{model}' is not supported by CellposeSAM. Only 'vit_l' is supported.")
+        cfg = dict(VIT_CONFIGS["vit_l"])
+        gai = cfg["global_attn_indexes"]
+        native_grid = 1024 // 16  # SAM's pretraining grid
+        cfg.update(
+            use_neck=True, use_rel_pos=True, window_size=0, patch_size=8,
+            rel_pos_table_sizes=tuple(
+                native_grid if i in gai else 14 for i in range(cfg["depth"])),
+        )
+        cfg.update(kwargs)
+        return ViT(img_size=img_size, in_chans=in_chans, dtype=dtype, **cfg)
+    if backbone == "mae":
+        from .scalemae import MAE_CONFIGS, MAEViT
+
+        if model not in MAE_CONFIGS:
+            raise ValueError(
+                f"'{model}' is not supported by MAE. Currently, "
+                f"{sorted(MAE_CONFIGS)} are supported.")
+        cfg = dict(MAE_CONFIGS[model])
+        cfg.update(kwargs)
+        return MAEViT(img_size=img_size, in_chans=in_chans, dtype=dtype, **cfg)
     if model not in VIT_CONFIGS:
         raise ValueError(f"Unknown vit model {model}; available: {sorted(VIT_CONFIGS)}")
     cfg = dict(VIT_CONFIGS[model])
@@ -328,6 +393,10 @@ def load_sam_weights(variables, checkpoint_path: str, backbone: str = "sam",
         from .scalemae import load_scalemae_weights
 
         return load_scalemae_weights(variables, checkpoint_path, strict=strict)
+    if backbone == "mae":
+        from .scalemae import load_mae_weights
+
+        return load_mae_weights(variables, checkpoint_path, strict=strict)
 
     state = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
     if "model" in state:
