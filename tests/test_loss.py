@@ -65,6 +65,38 @@ class TestDice:
         target = jnp.asarray(np.random.rand(1, 1, 16, 16) > 0.5, dtype=jnp.float32)
         assert np.isfinite(float(BCEDiceLoss()(pred, target)))
 
+    @pytest.mark.parametrize("channelwise,reduce_channel", [
+        (True, "sum"), (True, "mean"), (False, "sum"),
+    ])
+    def test_shard_parts_reconstruct_global_dice(self, channelwise, reduce_channel):
+        # the shard-decomposition protocol (parallel/halo.py spatial training):
+        # summing per-shard sufficient statistics and forming the loss must
+        # equal the direct global Dice exactly
+        import jax as _jax
+
+        loss = DiceLoss(channelwise=channelwise, reduce_channel=reduce_channel)
+        rng = np.random.default_rng(5)
+        pred = jnp.asarray(rng.random((1, 2, 64, 32), dtype=np.float32))
+        target = jnp.asarray((rng.random((1, 2, 64, 32)) > 0.5).astype("float32"))
+        direct = float(loss(pred, target))
+
+        shards = [(pred[:, :, i * 16:(i + 1) * 16], target[:, :, i * 16:(i + 1) * 16])
+                  for i in range(4)]
+        parts = [loss.shard_parts(p, t) for p, t in shards]
+        summed = _jax.tree_util.tree_map(lambda *xs: sum(xs), *parts)
+        assert float(loss.loss_from_parts(summed)) == pytest.approx(direct, abs=1e-6)
+
+    def test_shard_parts_with_logits(self):
+        from torch_em_tpu.loss import DiceLossWithLogits
+
+        loss = DiceLossWithLogits()
+        rng = np.random.default_rng(6)
+        logits = jnp.asarray(rng.normal(size=(1, 1, 32, 32)).astype("float32"))
+        target = jnp.asarray((rng.random((1, 1, 32, 32)) > 0.5).astype("float32"))
+        parts = loss.shard_parts(logits, target)
+        assert float(loss.loss_from_parts(parts)) == pytest.approx(
+            float(loss(logits, target)), abs=1e-6)
+
 
 class TestLossWrapper:
     def test_apply_and_remove_mask(self):

@@ -97,12 +97,39 @@ class DiceLoss:
             reduce_channel=self.reduce_channel, eps=self.eps,
         )
 
+    # -- shard-decomposition protocol (parallel/halo.py spatial training) --
+    # Dice is a set-level objective: mean-of-shard-Dice != global Dice. These
+    # two hooks expose its sufficient statistics (per-channel numerator /
+    # denominator sums), which ARE sum-decomposable: psum the parts across
+    # shards, then form the loss — the sharded objective equals the unsharded
+    # one exactly (up to halo/border effects of the forward).
+    def shard_parts(self, input_: jnp.ndarray, target: jnp.ndarray):
+        if self.channelwise:
+            i, t = flatten_samples(input_), flatten_samples(target)
+            num = jnp.sum(i * t, axis=-1)
+            den = jnp.sum(i * i, axis=-1) + jnp.sum(t * t, axis=-1)
+        else:
+            num = jnp.sum(input_ * target)
+            den = jnp.sum(input_ * input_) + jnp.sum(target * target)
+        return {"numerator": num, "denominator": den}
+
+    def loss_from_parts(self, parts) -> jnp.ndarray:
+        score = 2.0 * (parts["numerator"] / jnp.clip(parts["denominator"], min=self.eps))
+        loss = 1.0 - score
+        if not self.channelwise or self.reduce_channel is None:
+            return loss  # same semantics as __call__
+        return {"sum": jnp.sum, "mean": jnp.mean, "max": jnp.max,
+                "min": jnp.min}[self.reduce_channel](loss)
+
 
 class DiceLossWithLogits(DiceLoss):
     """Dice error on sigmoided logits (reference dice.py:136)."""
 
     def __call__(self, input_: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         return super().__call__(jax.nn.sigmoid(input_), target)
+
+    def shard_parts(self, input_: jnp.ndarray, target: jnp.ndarray):
+        return super().shard_parts(jax.nn.sigmoid(input_), target)
 
 
 class BCEDiceLoss:

@@ -378,8 +378,10 @@ def load_sam_weights(variables, checkpoint_path: str, backbone: str = "sam",
 
     if backbone in UNSUPPORTED_CONVERSION_BACKBONES:
         raise NotImplementedError(
-            f"Checkpoint conversion for backbone '{backbone}' is not supported: its reference "
-            "geometry is not implemented natively yet.")
+            f"Checkpoint conversion for backbone '{backbone}' is not supported: its "
+            "perception-encoder/vitdet internals (interpolated RoPE + ln_pre) live in "
+            "the external sam3 package and cannot be re-implemented verifiably. The "
+            "factory still builds the reference's vit_pe shape for from-scratch training.")
     if backbone == "sam2":
         from .hiera import load_sam2_weights
 

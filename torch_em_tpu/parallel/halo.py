@@ -220,13 +220,14 @@ def spatial_sharded_train_step(model, loss_obj, tx, mesh, halo: Optional[int] = 
     the per-shard losses are pmean'd; AD through shard_map all-reduces the
     gradients. Parameters are replicated.
 
-    Loss semantics: the sharded objective is the *mean of per-shard losses*,
-    which equals the global loss only for mean-decomposable losses (per-pixel
-    means such as BCE/MSE over equal-size shards). For set-level losses such
-    as Dice, mean-of-shard-Dice is a spatially-blocked variant of the global
-    objective — a deliberate, documented deviation (it is also what the
-    reference's tiled training on crops optimizes); do not expect gradients
-    to match an unsharded Dice step beyond halo/border effects.
+    Loss semantics: losses that implement the shard-decomposition protocol
+    (``shard_parts(pred, y) -> pytree`` of sum-decomposable statistics +
+    ``loss_from_parts(parts)``, e.g. the Dice family's per-channel
+    numerator/denominator sums) are psum'd across shards and the GLOBAL loss
+    is formed exactly — gradients match the unsharded step up to halo/border
+    effects. Losses without the protocol fall back to the *mean of per-shard
+    losses*, which equals the global loss only for mean-decomposable
+    objectives (per-pixel means such as BCE/MSE over equal-size shards).
 
     Returns ``(step, shard_batch)``: ``step(variables, opt_state, x, y)`` and
     a helper placing host batches with the right shardings.
@@ -253,9 +254,17 @@ def spatial_sharded_train_step(model, loss_obj, tx, mesh, halo: Optional[int] = 
 
     spec_x = P(None, None, axis_name)
 
+    decomposable = hasattr(loss_obj, "shard_parts") and hasattr(loss_obj, "loss_from_parts")
+
     def sharded_loss(params, x, y):
         def local_fn(p, xl, yl):
             pred = local_forward({"params": p}, xl)
+            if decomposable:
+                # psum the loss's sufficient statistics -> exact global loss
+                parts = loss_obj.shard_parts(pred, yl)
+                parts = jax.tree_util.tree_map(
+                    lambda t: jax.lax.psum(t, axis_name), parts)
+                return loss_obj.loss_from_parts(parts)
             local = loss_obj(pred, yl)
             # average the per-shard losses (equal-size shards)
             return jax.lax.pmean(local, axis_name)
