@@ -366,6 +366,69 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
 
+    def test_covid_if_layout(self, tmp_path):
+        """Fabricated Covid-IF layout: flat *.h5 with multiscale-style keys
+        (reference covid_if.py)."""
+        import h5py
+
+        from torch_em_tpu.data.datasets.light_microscopy.covid_if import (
+            get_covid_if_loader, get_covid_if_paths,
+        )
+
+        rng = np.random.default_rng(12)
+        for i in range(4):
+            with h5py.File(tmp_path / f"gt_image_{i:03d}.h5", "w") as f:
+                f.create_dataset("raw/serum_IgG/s0",
+                                 data=rng.random((64, 64)).astype("float32"))
+                f.create_dataset("raw/nuclei/s0",
+                                 data=rng.random((64, 64)).astype("float32"))
+                f.create_dataset("labels/cells/s0",
+                                 data=rng.integers(0, 4, (64, 64)).astype("uint32"))
+                f.create_dataset("labels/nuclei/s0",
+                                 data=rng.integers(0, 3, (64, 64)).astype("uint32"))
+
+        assert len(get_covid_if_paths(str(tmp_path))) == 4
+        # sample_range slicing
+        assert len(get_covid_if_paths(str(tmp_path), sample_range=(1, 3))) == 2
+
+        for target in ("cells", "nuclei"):
+            loader = get_covid_if_loader(str(tmp_path), patch_shape=(32, 32),
+                                         batch_size=1, target=target, boundaries=True)
+            x, y = next(iter(loader))
+            assert x.shape == (1, 1, 32, 32)
+            assert y.shape[-2:] == (32, 32)
+
+    def test_mouse_embryo_layout(self, tmp_path):
+        """Fabricated mouse-embryo layout: <Name>/<split>/*.h5 with the
+        nuclei val->test split rename (reference mouse_embryo.py)."""
+        import h5py
+
+        from torch_em_tpu.data.datasets.light_microscopy.mouse_embryo import (
+            get_mouse_embryo_loader, get_mouse_embryo_paths,
+        )
+
+        rng = np.random.default_rng(13)
+        for name, split in (("Membrane", "train"), ("Membrane", "val"),
+                            ("Nuclei", "train"), ("Nuclei", "test")):
+            d = tmp_path / name / split
+            d.mkdir(parents=True)
+            for i in range(2):
+                with h5py.File(d / f"vol{i}.h5", "w") as f:
+                    f.create_dataset("raw", data=rng.random((8, 64, 64)).astype("float32"))
+                    f.create_dataset("label",
+                                     data=rng.integers(1, 5, (8, 64, 64)).astype("uint32"))
+
+        assert len(get_mouse_embryo_paths(str(tmp_path), "membrane", "train")) == 2
+        # the nuclei data has a test instead of a val split
+        assert len(get_mouse_embryo_paths(str(tmp_path), "nuclei", "val")) == 2
+
+        loader = get_mouse_embryo_loader(str(tmp_path), "membrane", "train",
+                                         patch_shape=(4, 32, 32), batch_size=1,
+                                         boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
     def test_isbi_layout(self, tmp_path):
         import h5py
 
