@@ -9,6 +9,11 @@ set -x
 cd /root/repo/experiments/parity
 export PYTHONPATH=/root/repo:/root/.axon_site
 
+# tracked-scale 3D data (volumes must exceed the (32,256,256) patch)
+[ -f parity_data3d_tracked/train/vol0.h5 ] || \
+  JAX_PLATFORMS=cpu python make_data3d.py -o parity_data3d_tracked \
+    --shape 40,320,320 --n-train 4 --n-val 2 > make_data3d_tracked.log 2>&1
+
 # ---- TPU phase ----
 for s in 0 1 2; do
   [ -f parity_out3d_s$s/tpu_result3d.json ] || \

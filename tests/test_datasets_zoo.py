@@ -429,6 +429,86 @@ class TestZooLayouts:
         assert x.shape == (1, 1, 4, 32, 32)
         assert y.shape[-3:] == (4, 32, 32)
 
+    def test_monuseg_layout(self, tmp_path):
+        """Fabricated MoNuSeg layout (histopathology domain): extracted
+        'MoNuSeg 2018 Training Data' with per-image tif + Aperio-style xml
+        polygon annotations, rasterized into split/{images,labels}/*.png on
+        first access (reference histopathology/monuseg.py)."""
+        pytest.importorskip("PIL")
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.histopathology.monuseg import (
+            ORGAN_SPLITS, get_monuseg_loader, get_monuseg_paths,
+        )
+
+        rng = np.random.default_rng(21)
+        root = tmp_path / "MoNuSeg 2018 Training Data"
+        root.mkdir()
+        xml = """<?xml version="1.0"?>
+        <Annotations><Annotation><Regions><Region>
+            <Vertices>
+                <Vertex X="8" Y="8"/><Vertex X="40" Y="8"/>
+                <Vertex X="40" Y="40"/><Vertex X="8" Y="40"/>
+            </Vertices>
+        </Region></Regions></Annotation></Annotations>"""
+        # one breast and one kidney image so the organ filter has work to do
+        names = [ORGAN_SPLITS["breast"][0], ORGAN_SPLITS["kidney"][0]]
+        for name in names:
+            Image.fromarray(
+                (rng.random((64, 64, 3)) * 255).astype("uint8")).save(root / f"{name}.tif")
+            (root / f"{name}.xml").write_text(xml)
+
+        image_paths, label_paths = get_monuseg_paths(str(tmp_path), split="train")
+        assert len(image_paths) == 2 and len(label_paths) == 2
+        # rasterized label actually contains the polygon instance
+        lab = np.asarray(Image.open(label_paths[0]))
+        assert lab.max() == 1 and lab[20, 20] == 1
+        # organ filter narrows to the matching TCGA ids
+        breast_imgs, _ = get_monuseg_paths(str(tmp_path), split="train",
+                                           organ_type=["breast"])
+        assert len(breast_imgs) == 1 and names[0] in breast_imgs[0]
+
+        loader = get_monuseg_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                    split="train", boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_amos_layout(self, tmp_path):
+        """Fabricated AMOS layout (medical domain): amos22/{imagesTr,labelsTr}
+        NIfTI-gz volumes, CT/MRI modality split on the patient id (< 500 = CT;
+        reference medical/amos.py) — exercises the pure-numpy NIfTI reader."""
+        from torch_em_tpu.data.datasets.medical.amos import (
+            get_amos_loader, get_amos_paths,
+        )
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(22)
+        im_dir = tmp_path / "amos22" / "imagesTr"
+        gt_dir = tmp_path / "amos22" / "labelsTr"
+        im_dir.mkdir(parents=True)
+        gt_dir.mkdir(parents=True)
+        for pid in (1, 2, 507):  # two CT patients, one MRI
+            save_nifti(str(im_dir / f"amos_{pid:04d}.nii.gz"),
+                       rng.random((12, 48, 48)).astype("float32"))
+            save_nifti(str(gt_dir / f"amos_{pid:04d}.nii.gz"),
+                       rng.integers(0, 5, (12, 48, 48)).astype("uint8"))
+
+        image_paths, gt_paths = get_amos_paths(str(tmp_path), split="train")
+        assert len(image_paths) == 3 and len(gt_paths) == 3
+        ct_imgs, ct_gts = get_amos_paths(str(tmp_path), split="train", modality="CT")
+        assert len(ct_imgs) == 2 and len(ct_gts) == 2
+        mri_imgs, _ = get_amos_paths(str(tmp_path), split="train", modality="MRI")
+        assert len(mri_imgs) == 1 and "0507" in mri_imgs[0]
+        with pytest.raises(ValueError):
+            get_amos_paths(str(tmp_path), split="not-a-split")
+
+        loader = get_amos_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1,
+                                 split="train", modality="CT")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
     def test_isbi_layout(self, tmp_path):
         import h5py
 

@@ -67,9 +67,13 @@ def get_monuseg_data(path: Union[os.PathLike, str], split: str, download: bool =
     if os.path.exists(os.path.join(path, split, "images")):
         return
     os.makedirs(path, exist_ok=True)
-    zip_path = os.path.join(path, f"monuseg_{split}.zip")
-    util.download_source_gdrive(zip_path, URL[split], download=download, checksum=CHECKSUM[split])
-    util.unzip(zip_path, path)
+    extracted = os.path.join(path, "MoNuSeg 2018 Training Data" if split == "train"
+                             else "MoNuSegTestData")
+    if not os.path.exists(extracted):
+        zip_path = os.path.join(path, f"monuseg_{split}.zip")
+        util.download_source_gdrive(zip_path, URL[split], download=download,
+                                    checksum=CHECKSUM[split])
+        util.unzip(zip_path, path)
     _process_monuseg(path, split)
 
 
