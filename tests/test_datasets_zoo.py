@@ -509,6 +509,66 @@ class TestZooLayouts:
         assert x.shape == (1, 1, 8, 32, 32)
         assert y.shape[-3:] == (8, 32, 32)
 
+    def test_psfhs_layout(self, tmp_path):
+        """Fabricated PSFHS layout: PSFHS/{image_mha,label_mha}/*.mha RGB
+        ultrasound images — drives the pure-numpy MetaImage reader through a
+        zoo module (reference medical/psfhs.py)."""
+        from torch_em_tpu.data.datasets.medical.psfhs import (
+            get_psfhs_loader, get_psfhs_paths,
+        )
+        from torch_em_tpu.utils.medical_io import save_mha
+
+        rng = np.random.default_rng(23)
+        im_dir = tmp_path / "PSFHS" / "image_mha"
+        lab_dir = tmp_path / "PSFHS" / "label_mha"
+        im_dir.mkdir(parents=True)
+        lab_dir.mkdir(parents=True)
+        for i in range(4):
+            save_mha(str(im_dir / f"{i:05d}.mha"),
+                     (rng.random((64, 64, 3)) * 255).astype("uint8"))
+            save_mha(str(lab_dir / f"{i:05d}.mha"),
+                     rng.integers(0, 3, (64, 64)).astype("uint8"))
+
+        raw_paths, label_paths = get_psfhs_paths(str(tmp_path), split="train")
+        assert len(raw_paths) == 4 and len(label_paths) == 4
+        with pytest.raises(ValueError):
+            get_psfhs_paths(str(tmp_path), split="not-a-split")
+
+        loader = get_psfhs_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                  split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_sega_layout(self, tmp_path):
+        """Fabricated SegA layout: KiTS/<case>/*.nrrd + *.seg.nrrd volumes,
+        converted to NIfTI on first access — drives the pure-numpy NRRD
+        reader incl. the 4D layer-axis squeeze (reference medical/sega.py)."""
+        from torch_em_tpu.data.datasets.medical.sega import (
+            get_sega_loader, get_sega_paths,
+        )
+        from torch_em_tpu.utils.medical_io import load_nifti, save_nrrd
+
+        rng = np.random.default_rng(24)
+        for case in ("K1", "K2"):
+            d = tmp_path / "KiTS" / case
+            d.mkdir(parents=True)
+            save_nrrd(str(d / f"{case}.nrrd"), rng.random((12, 48, 48)).astype("float32"))
+            # 3D-Slicer-style segmentation nrrd with a leading layer axis
+            save_nrrd(str(d / f"{case}.seg.nrrd"),
+                      rng.integers(0, 2, (1, 12, 48, 48)).astype("uint8"))
+
+        image_paths, gt_paths = get_sega_paths(str(tmp_path), data_choice="kits")
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+        # the layer axis was squeezed away in the converted labels
+        assert load_nifti(gt_paths[0]).ndim == 3
+
+        loader = get_sega_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1,
+                                 data_choice="kits")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
     def test_isbi_layout(self, tmp_path):
         import h5py
 
