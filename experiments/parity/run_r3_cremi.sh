@@ -22,7 +22,7 @@ for s in 0 1 2; do
 done
 [ -f parity_out3d_tracked/tpu_result3d.json ] || \
   python train_tpu3d.py -d parity_data3d_tracked -o parity_out3d_tracked \
-    -n 2000 --patch 32,256,256 --features 32 --tracked-model --seed 0 \
+    -n 2000 --patch 32,256,256 --features 32 --tracked-model --seed 0 --resume \
     > tpu3d_tracked.log 2>&1
 
 # SPOCO with grid-searched decode (VERDICT item #4)

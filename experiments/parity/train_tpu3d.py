@@ -28,6 +28,8 @@ def main():
     parser.add_argument("--tracked-model", action="store_true",
                         help="use the bench.py north-star model (4 levels, "
                              "anisotropic kernels) instead of the reduced 2-level one")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint if one exists")
     args = parser.parse_args()
     os.makedirs(args.output, exist_ok=True)
     PATCH = tuple(int(s) for s in args.patch.split(","))
@@ -66,7 +68,19 @@ def main():
         learning_rate=1e-4, optimizer_kwargs={"weight_decay": 0.01},
         save_root=args.output, logger=None,
     )
-    trainer.fit(iterations=args.n_iterations)
+    # --resume continues an interrupted run up to n_iterations TOTAL.  Both
+    # this trainer and the reference treat fit(N, load_from_checkpoint=...)
+    # as "N more iterations" (reference default_trainer.py:519), so load
+    # first and pass the remaining count.
+    n_train = args.n_iterations
+    ckpt_latest = os.path.join(
+        args.output, "checkpoints", "parity-cremi-tpu", "latest.ckpt")
+    if args.resume and os.path.exists(ckpt_latest):
+        trainer.load_checkpoint("latest")
+        n_train = max(0, args.n_iterations - int(trainer.iteration))
+        print(f"resuming at iteration {trainer.iteration}, {n_train} to go")
+    if n_train > 0:
+        trainer.fit(iterations=n_train)
 
     trainer.load_checkpoint("best")
     import jax
