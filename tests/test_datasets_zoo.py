@@ -590,3 +590,230 @@ class TestZooLayouts:
                                   use_original_labels=True)
         x2, y2 = next(iter(loader2))
         assert x2.shape == (1, 1, 4, 32, 32)
+
+    def test_platynereis_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.platynereis import (
+            get_platynereis_nuclei_loader, get_platynereis_paths)
+
+        rng = np.random.default_rng(9)
+        nuc = tmp_path / "nuclei"
+        nuc.mkdir()
+        # get_platynereis_data requires the full file count on disk
+        for i in range(1, 13):
+            with h5py.File(nuc / f"train_data_nuclei_{i:02d}.h5", "w") as f:
+                f.create_dataset("volumes/raw",
+                                 data=(rng.random((8, 48, 48)) * 255).astype("uint8"))
+                f.create_dataset("volumes/labels/nucleus_instance_labels",
+                                 data=rng.integers(0, 4, (8, 48, 48)).astype("uint64"))
+
+        paths = get_platynereis_paths(str(tmp_path), sample_ids=None, name="nuclei")
+        assert len(paths) == 12
+        loader = get_platynereis_nuclei_loader(
+            str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+            sample_ids=[1, 2], boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_deepbacs_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.deepbacs import (
+            get_deepbacs_loader, get_deepbacs_paths)
+
+        rng = np.random.default_rng(10)
+        # the 'training'/'source'+'target' archive variant
+        for sub in ("source", "target"):
+            (tmp_path / "mixed" / "training" / sub).mkdir(parents=True)
+            (tmp_path / "mixed" / "test" / sub).mkdir(parents=True)
+        for split in ("training", "test"):
+            for i in range(3):
+                raw = (rng.random((64, 64)) * 255).astype("uint8")
+                lab = rng.integers(0, 4, (64, 64)).astype("uint8")
+                Image.fromarray(raw).save(tmp_path / "mixed" / split / "source" / f"im{i}.tif")
+                Image.fromarray(lab).save(tmp_path / "mixed" / split / "target" / f"im{i}.tif")
+
+        image_paths, label_paths = get_deepbacs_paths(str(tmp_path), "mixed", "train")
+        assert len(image_paths) == len(label_paths) == 3
+        loader = get_deepbacs_loader(str(tmp_path), "train", patch_shape=(32, 32),
+                                     batch_size=2, bac_type="mixed")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape == (2, 1, 32, 32)
+
+    def test_uro_cell_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.uro_cell import (
+            get_uro_cell_loader, get_uro_cell_paths)
+
+        rng = np.random.default_rng(11)
+        # two volumes with lyso labels, one without (must be filtered out)
+        for name, with_lyso in (("fib1", True), ("fib2", True), ("fib3", False)):
+            with h5py.File(tmp_path / f"{name}.h5", "w") as f:
+                f.create_dataset("raw", data=(rng.random((8, 48, 48)) * 255).astype("uint8"))
+                if with_lyso:
+                    f.create_dataset("labels/lyso",
+                                     data=rng.integers(0, 3, (8, 48, 48)).astype("uint32"))
+
+        paths = get_uro_cell_paths(str(tmp_path), "lyso")
+        assert len(paths) == 2
+        loader = get_uro_cell_loader(str(tmp_path), "lyso", patch_shape=(4, 32, 32),
+                                     batch_size=1, boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_neurips_cellseg_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.neurips_cell_seg import (
+            get_neurips_cellseg_supervised_loader, get_neurips_cellseg_unsupervised_loader)
+
+        rng = np.random.default_rng(12)
+        train = tmp_path / "Training-labeled"
+        (train / "images").mkdir(parents=True)
+        (train / "labels").mkdir(parents=True)
+        for i in range(2):
+            # the challenge mixes grayscale and RGB modalities
+            if i == 0:
+                raw = (rng.random((64, 64)) * 255).astype("uint8")
+            else:
+                raw = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            lab = rng.integers(0, 4, (64, 64)).astype("uint8")
+            Image.fromarray(raw).save(train / "images" / f"cell_{i:05d}.png")
+            Image.fromarray(lab).save(train / "labels" / f"cell_{i:05d}_label.png")
+
+        loader = get_neurips_cellseg_supervised_loader(
+            str(tmp_path), "train", patch_shape=(32, 32), batch_size=2)
+        x, y = next(iter(loader))
+        # make_rgb=True: both modalities arrive as 3-channel
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape == (2, 1, 32, 32)
+
+        unl = tmp_path / "release-part1"
+        unl.mkdir()
+        for i in range(2):
+            raw = (rng.random((64, 64)) * 255).astype("uint8")
+            Image.fromarray(raw).save(unl / f"unl_{i:05d}.png")
+        uloader = get_neurips_cellseg_unsupervised_loader(
+            str(tmp_path), patch_shape=(32, 32), batch_size=2)
+        xu = next(iter(uloader))
+        assert xu.shape == (2, 3, 32, 32)
+
+    def test_gonuclear_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.light_microscopy.gonuclear import (
+            get_gonuclear_loader, get_gonuclear_paths)
+
+        rng = np.random.default_rng(13)
+        data = tmp_path / "gonuclear_datasets"
+        data.mkdir()
+        for sample in ("1135", "1136"):
+            with h5py.File(data / f"{sample}.h5", "w") as f:
+                f.create_dataset("raw/cells", data=(rng.random((8, 48, 48)) * 255).astype("uint8"))
+                f.create_dataset("raw/nuclei", data=(rng.random((8, 48, 48)) * 255).astype("uint8"))
+                f.create_dataset("labels/cells", data=rng.integers(0, 4, (8, 48, 48)).astype("uint32"))
+                f.create_dataset("labels/nuclei", data=rng.integers(0, 4, (8, 48, 48)).astype("uint32"))
+
+        paths = get_gonuclear_paths(str(tmp_path), sample_ids=["1135"])
+        assert len(paths) == 1
+        for task in ("nuclei", "cells"):
+            loader = get_gonuclear_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                          batch_size=1, segmentation_task=task,
+                                          boundaries=True)
+            x, y = next(iter(loader))
+            assert x.shape == (1, 1, 4, 32, 32)
+            assert y.shape[-3:] == (4, 32, 32)
+
+    def test_orgasegment_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.orgasegment import (
+            get_orgasegment_loader, get_orgasegment_paths)
+
+        rng = np.random.default_rng(14)
+        (tmp_path / "train").mkdir()
+        for i in range(3):
+            raw = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            lab = rng.integers(0, 4, (64, 64)).astype("uint8")
+            Image.fromarray(raw).save(tmp_path / "train" / f"org{i}_img.jpg")
+            Image.fromarray(lab).save(tmp_path / "train" / f"org{i}_masks_organoid.png")
+
+        image_paths, label_paths = get_orgasegment_paths(str(tmp_path), "train")
+        assert len(image_paths) == len(label_paths) == 3
+        loader = get_orgasegment_loader(str(tmp_path), patch_shape=(32, 32),
+                                        batch_size=2, split="train", boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape[0] == 2 and x.shape[-2:] == (32, 32)
+        assert y.shape == (2, 2, 32, 32)  # binary + boundary channels
+
+    def test_omnipose_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.omnipose import (
+            get_omnipose_loader, get_omnipose_paths)
+
+        rng = np.random.default_rng(15)
+        # bact_* layout: <choice>/train_sorted/<subfolder>/*.tif with *_masks.tif
+        sub = tmp_path / "data" / "bact_phase" / "train_sorted" / "A22"
+        sub.mkdir(parents=True)
+        for i in range(2):
+            raw = (rng.random((64, 64)) * 255).astype("uint8")
+            lab = rng.integers(0, 4, (64, 64)).astype("uint8")
+            Image.fromarray(raw).save(sub / f"img{i}.tif")
+            Image.fromarray(lab).save(sub / f"img{i}_masks.tif")
+        # worm layout: <choice>/train/* flat
+        wsub = tmp_path / "data" / "worm" / "train"
+        wsub.mkdir(parents=True)
+        raw = (rng.random((64, 64)) * 255).astype("uint8")
+        lab = rng.integers(0, 4, (64, 64)).astype("uint8")
+        Image.fromarray(raw).save(wsub / "w0.png")
+        Image.fromarray(lab).save(wsub / "w0_masks.png")
+
+        image_paths, label_paths = get_omnipose_paths(
+            str(tmp_path), "train", data_choice=["bact_phase", "worm"])
+        assert len(image_paths) == len(label_paths) == 3
+        loader = get_omnipose_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                     split="train", data_choice="bact_phase", binary=True)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape == (2, 1, 32, 32)
+
+    def test_pannuke_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.histopathology.pannuke import (
+            _convert_fold, get_pannuke_loader)
+
+        rng = np.random.default_rng(16)
+        fold_dir = tmp_path / "fold_1" / "Fold 1" / "images"
+        fold_dir.mkdir(parents=True)
+        n = 4
+        np.save(fold_dir / "images.npy",
+                (rng.random((n, 64, 64, 3)) * 255).astype("float64"))
+        masks = np.zeros((n, 64, 64, 6), dtype="float64")
+        # two instances in the first type channel, one in the second
+        masks[:, 5:15, 5:15, 0] = 1
+        masks[:, 20:30, 20:30, 0] = 2
+        masks[:, 40:50, 40:50, 1] = 1
+        # background channel (last) marks everything unlabeled
+        masks[..., 5] = (masks[..., :5].sum(-1) == 0).astype("float64")
+        np.save(fold_dir / "masks.npy", masks)
+
+        h5_path = _convert_fold(str(tmp_path), "fold_1")
+        with h5py.File(h5_path, "r") as f:
+            assert f["images"].shape == (3, n, 64, 64)
+            inst = f["labels/instances"][:]
+            # offsetting makes instance ids unique across type channels
+            assert inst.max() == 3
+            assert f["labels/semantic"][:].max() == 5
+
+        loader = get_pannuke_loader(str(tmp_path), patch_shape=(1, 32, 32), batch_size=2,
+                                    folds=("fold_1",))
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 1, 32, 32)
+        assert y.shape[0] == 2 and y.shape[-2:] == (32, 32)
