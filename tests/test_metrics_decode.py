@@ -65,6 +65,19 @@ class TestEvalMeasures:
         vis, vim = variation_of_information(seg, gt)
         assert vis + vim > 0.1
 
+    def test_background_only_sides(self):
+        # a decode can legitimately produce zero instances (e.g. an
+        # over-merging grid-search candidate) — the metric must score it,
+        # not crash (regression: boolean-mask shape error on empty overlap)
+        gt = make_gt()
+        empty = np.zeros_like(gt)
+        m = matching(empty, gt)
+        assert m["accuracy"] == 0.0 and m["n_pred"] == 0 and m["fn"] == m["n_true"] > 0
+        m = matching(gt, empty)
+        assert m["accuracy"] == 0.0 and m["n_true"] == 0 and m["fp"] == m["n_pred"] > 0
+        m = matching(empty, empty)
+        assert m["accuracy"] == 0.0 and m["tp"] == 0
+
 
 class TestDecodings:
     def test_mutex_watershed_recovers_gt(self):

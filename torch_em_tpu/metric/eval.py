@@ -36,13 +36,11 @@ def matching(
     """
     assert criterion == "iou"
     table = contingency_table(seg, gt).toarray()
-    # drop background row/col
-    seg_ids = np.arange(table.shape[0])
-    gt_ids = np.arange(table.shape[1])
-    overlap = table[1:, 1:] if table.shape[0] > 1 and table.shape[1] > 1 else np.zeros((0, 0))
+    # drop background row/col; empty slices are fine (a background-only side
+    # yields a (0, n) / (n, 0) overlap consistent with the size vectors)
+    overlap = table[1:, 1:]
     seg_sizes = table.sum(axis=1)[1:]
     gt_sizes = table.sum(axis=0)[1:]
-    n_pred, n_true = len(seg_sizes), len(gt_sizes)
     # remove empty labels
     pred_nonzero = seg_sizes > 0
     true_nonzero = gt_sizes > 0
