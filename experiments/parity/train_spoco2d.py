@@ -37,6 +37,10 @@ def main():
     parser.add_argument("-o", "--output", default="./parity_out_spoco")
     parser.add_argument("-n", "--n-iterations", type=int, default=5000)
     parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the latest checkpoint up to "
+                             "n_iterations TOTAL (skips straight to the "
+                             "decode when training already finished)")
     args = parser.parse_args()
     os.makedirs(args.output, exist_ok=True)
 
@@ -66,7 +70,15 @@ def main():
         save_root=args.output, logger=None,
         trainer_class=SPOCOTrainer,
     )
-    trainer.fit(iterations=args.n_iterations)
+    n_train = args.n_iterations
+    ckpt_latest = os.path.join(
+        args.output, "checkpoints", "parity-spoco", "latest.ckpt")
+    if args.resume and os.path.exists(ckpt_latest):
+        trainer.load_checkpoint("latest")
+        n_train = max(0, args.n_iterations - int(trainer.iteration))
+        print(f"resuming at iteration {trainer.iteration}, {n_train} to go")
+    if n_train > 0:
+        trainer.fit(iterations=n_train)
 
     # decode embeddings with the embedding mutex watershed; decode params are
     # grid-searched on the first half of the val set (tune split), metrics
