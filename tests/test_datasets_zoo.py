@@ -1,5 +1,7 @@
 """Tests for the dataset-zoo machinery (no downloads, reference §4 pattern)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -817,3 +819,83 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (2, 3, 1, 32, 32)
         assert y.shape[0] == 2 and y.shape[-2:] == (32, 32)
+
+    def test_axondeepseg_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.axondeepseg import (
+            get_axondeepseg_loader, get_axondeepseg_paths)
+
+        rng = np.random.default_rng(17)
+        sem = tmp_path / "sem"
+        sem.mkdir()
+        for i in range(2):
+            with h5py.File(sem / f"sem_data_{i}.h5", "w") as f:
+                f.create_dataset("raw", data=(rng.random((64, 64)) * 255).astype("uint8"))
+                f.create_dataset("labels", data=rng.integers(0, 3, (64, 64)).astype("uint8"))
+
+        paths = get_axondeepseg_paths(str(tmp_path), "sem")
+        assert len(paths) == 2
+        loader = get_axondeepseg_loader(str(tmp_path), "sem", patch_shape=(32, 32),
+                                        batch_size=2, one_hot_encoding=True)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape == (2, 3, 32, 32)  # one-hot axon/myelin/background
+
+    def test_acdc_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.acdc import get_acdc_loader, get_acdc_paths
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(18)
+        for pid in (1, 2):
+            pdir = tmp_path / "ACDC" / "database" / "training" / f"patient{pid:03d}"
+            pdir.mkdir(parents=True)
+            for frame in (1, 12):
+                save_nifti(str(pdir / f"patient{pid:03d}_frame{frame:02d}.nii.gz"),
+                           rng.random((10, 48, 48)).astype("float32"))
+                save_nifti(str(pdir / f"patient{pid:03d}_frame{frame:02d}_gt.nii.gz"),
+                           rng.integers(0, 4, (10, 48, 48)).astype("uint8"))
+
+        image_paths, gt_paths = get_acdc_paths(str(tmp_path), "train")
+        assert len(image_paths) == len(gt_paths) == 4
+        assert all("gt" not in os.path.basename(p) for p in image_paths)
+        loader = get_acdc_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1,
+                                 split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_lizard_layout(self, tmp_path):
+        from PIL import Image
+        from scipy.io import savemat
+
+        from torch_em_tpu.data.datasets.histopathology.lizard import (
+            _extract_images, get_lizard_loader, get_lizard_paths)
+
+        rng = np.random.default_rng(19)
+        # fabricate the raw kaggle layout: two image folders + mat labels + info.csv
+        img_dir = tmp_path / "lizard_images1" / "Lizard_Images1"
+        img_dir.mkdir(parents=True)
+        lab_dir = tmp_path / "lizard_labels" / "Lizard_Labels" / "Labels"
+        lab_dir.mkdir(parents=True)
+        rows = ["Filename,Split"]
+        for i, split_id in enumerate((1, 1, 2)):  # two train images, one val
+            name = f"consep_{i}"
+            raw = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            Image.fromarray(raw).save(img_dir / f"{name}.png")
+            inst = rng.integers(0, 4, (64, 64)).astype("int32")
+            savemat(str(lab_dir / f"{name}.mat"),
+                    {"inst_map": inst, "class": np.array([[1], [2], [3]])})
+            rows.append(f"{name},{split_id}")
+        (tmp_path / "lizard_labels" / "Lizard_Labels" / "info.csv").write_text(
+            "\n".join(rows) + "\n")
+
+        _extract_images("train", str(img_dir), str(lab_dir), str(tmp_path))
+        paths = get_lizard_paths(str(tmp_path), "train")
+        assert len(paths) == 2
+
+        loader = get_lizard_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                   split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)  # H&E RGB channels-first
+        assert y.shape[-2:] == (32, 32)
