@@ -57,3 +57,26 @@ class TestCLI:
         assert result.returncode == 0, result.stderr[-2000:]
         with h5py.File(out_path, "r") as f:
             assert "pred" in f
+
+    def test_train_3d_unet_and_predict_with_tiling(self, cli_data, tmp_path):
+        result = _run_cli("train_3d_unet", [
+            "-i", cli_data, "-l", cli_data, "-k", "raw", "--training_label_key", "labels",
+            "-b", "1", "-p", "8", "32", "32", "-n", "2", "-m", "boundaries",
+            "-s", "[[1,2,2],[2,2,2]]", "--name", "cli-test-3d",
+        ], cwd=str(tmp_path))
+        assert result.returncode == 0, result.stderr[-2000:]
+        assert os.path.exists(tmp_path / "checkpoints" / "cli-test-3d" / "latest.ckpt")
+
+        pred_input = str(tmp_path / "pred_input3d.h5")
+        with h5py.File(pred_input, "w") as f:
+            f.create_dataset("raw", data=np.random.rand(8, 48, 48).astype("float32"))
+        out_path = str(tmp_path / "pred3d.h5")
+        result = _run_cli("predict_with_tiling", [
+            "-c", str(tmp_path / "checkpoints" / "cli-test-3d"), "-i", pred_input, "-k", "raw",
+            "-o", out_path, "--output_key", "pred", "-b", "8", "32", "32",
+            "--halo", "0", "8", "8", "-d", "cpu",
+        ], cwd=str(tmp_path))
+        assert result.returncode == 0, result.stderr[-2000:]
+        with h5py.File(out_path, "r") as f:
+            assert "pred" in f
+            assert f["pred"].shape[-3:] == (8, 48, 48)
