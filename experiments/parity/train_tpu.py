@@ -28,6 +28,9 @@ def main():
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--features", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the latest checkpoint up to "
+                             "n_iterations TOTAL")
     args = parser.parse_args()
     os.makedirs(args.output, exist_ok=True)
 
@@ -63,7 +66,15 @@ def main():
         save_root=args.output,
         logger=None,
     )
-    trainer.fit(iterations=args.n_iterations)
+    n_train = args.n_iterations
+    ckpt_latest = os.path.join(
+        args.output, "checkpoints", "parity-dsb-tpu", "latest.ckpt")
+    if args.resume and os.path.exists(ckpt_latest):
+        trainer.load_checkpoint("latest")
+        n_train = max(0, args.n_iterations - int(trainer.iteration))
+        print(f"resuming at iteration {trainer.iteration}, {n_train} to go")
+    if n_train > 0:
+        trainer.fit(iterations=n_train)
 
     # predictions of the best model on the val set, for the shared evaluator
     trainer.load_checkpoint("best")
