@@ -1,0 +1,53 @@
+#!/bin/bash
+# Round-3 continuation driver (session restart). Same guards as run_r3_all.sh
+# but reordered: the CREMI 3-seed sweep (VERDICT weak #5) first, the SPOCO
+# 5000-it extension last (its 1952-it result is already committed). Resumable.
+set -x
+cd /root/repo/experiments/parity
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+# data (cheap, CPU)
+[ -f parity_data3d_tracked/train/vol0.h5 ] || \
+  JAX_PLATFORMS=cpu python make_data3d.py -o parity_data3d_tracked \
+    --shape 40,320,320 --n-train 4 --n-val 2 > make_data3d_tracked.log 2>&1
+
+# 1) CREMI-3D 3-seed TPU sweep (VERDICT #2 / weak #5)
+for s in 0 1 2; do
+  [ -f parity_out3d_s$s/tpu_result3d.json ] || \
+    timeout 900 python train_tpu3d.py -d parity_data3d -o parity_out3d_s$s \
+      -n 1500 --seed $s --resume > tpu3d_s$s.log 2>&1
+done
+
+# 2) CPU torch side for the CREMI seeds + evals
+for s in 0 1 2; do
+  [ -f parity_out3d_s$s/ref_torch_result3d.json ] || \
+    JAX_PLATFORMS=cpu timeout 1200 python train_ref_torch3d.py -d parity_data3d \
+      -o parity_out3d_s$s -n 1500 --seed $s > ref3d_s$s.log 2>&1
+  [ -f parity_out3d_s$s/parity_table3d.json ] || \
+    JAX_PLATFORMS=cpu timeout 600 python evaluate3d.py -d parity_data3d \
+      -o parity_out3d_s$s > eval3d_s$s.log 2>&1
+done
+
+# 3) CREMI tracked-scale TPU run (patch (32,256,256), bench model)
+[ -f parity_out3d_tracked/tpu_result3d.json ] || \
+  timeout 1500 python train_tpu3d.py -d parity_data3d_tracked -o parity_out3d_tracked \
+    -n 2000 --patch 32,256,256 --features 32 --tracked-model --seed 0 --resume \
+    > tpu3d_tracked.log 2>&1
+
+# 4) CPU torch tracked CREMI side + eval
+[ -f parity_out3d_tracked/ref_torch_result3d.json ] || \
+  JAX_PLATFORMS=cpu timeout 1800 python train_ref_torch3d.py -d parity_data3d_tracked \
+    -o parity_out3d_tracked -n 800 --patch 16,128,128 --eval-patch 32,256,256 \
+    --features 32 --tracked-model --seed 0 > ref3d_tracked.log 2>&1
+[ -f parity_out3d_tracked/parity_table3d.json ] || \
+  JAX_PLATFORMS=cpu timeout 900 python evaluate3d.py -d parity_data3d_tracked \
+    -o parity_out3d_tracked --patch 32,256,256 > eval3d_tracked.log 2>&1
+
+# 5) SPOCO quality extension: 5000 its + grid-searched decode (resume at 1952)
+[ -f parity_out_spoco/.r3done ] || \
+  { timeout 1500 python train_spoco2d.py -d parity_data -o parity_out_spoco \
+      -n 5000 --resume > spoco_r3.log 2>&1 && touch parity_out_spoco/.r3done; }
+
+# 6) aggregate
+JAX_PLATFORMS=cpu python aggregate_r3.py > aggregate_r3.log 2>&1
+echo R3B SWEEP DONE
