@@ -231,7 +231,7 @@ def _get_device_block_forward(model, ndim, halo, block_shape, slice_shape, batch
 
     inner = tuple(slice(h, h + b) for h, b in zip(halo, block_shape))
 
-    def fwd(v, vol, starts):
+    def _batch_body(v, vol, starts):
         blks = []
         for i in range(batch):
             st = (jnp.int32(0),) + tuple(starts[i, d] for d in range(ndim))
@@ -248,6 +248,12 @@ def _get_device_block_forward(model, ndim, halo, block_shape, slice_shape, batch
         if output_dtype is not None:
             out = out.astype(output_dtype)
         return out  # (B, C_out, *block)
+
+    def fwd(v, vol, starts):  # starts: (S, B, ndim) — S batches in ONE dispatch
+        def step(_, sb):
+            return None, _batch_body(v, vol, sb)
+        _, outs = jax.lax.scan(step, None, starts)
+        return outs  # (S, B, C_out, *block)
 
     fn = jax.jit(fwd)
     cache[key] = fn
@@ -289,12 +295,23 @@ def _predict_with_halo_on_device(input_dev, model, block_shape, halo, with_chann
         model, ndim, halo, block_shape, slice_shape, batch, output_dtype, device_standardize)
     variables = _get_device_variables(model, list(input_dev.devices())[0])
 
-    outs = []
-    for i in range(0, n_blocks, batch):
-        sb = starts_all[i:i + batch]
-        if len(sb) < batch:  # pad with repeats to keep the executable's shape
-            sb = np.concatenate([sb, np.repeat(sb[-1:], batch - len(sb), axis=0)])
-        outs.append(fwd(variables, vol_p, jnp.asarray(sb)))
+    # Pack the block grid as (S, B, ndim) batches and run S scan steps per
+    # dispatch. Dispatching scans of power-of-two length (32, 16, ... 1)
+    # amortizes the per-dispatch gap over up to 32 batches while keeping the
+    # set of compiled executables bounded across volume sizes.
+    n_steps = int(np.ceil(n_blocks / batch))
+    pad_n = n_steps * batch - n_blocks
+    if pad_n:  # pad with repeats to keep the executable's shape
+        starts_all = np.concatenate([starts_all, np.repeat(starts_all[-1:], pad_n, axis=0)])
+    starts_all = starts_all.reshape(n_steps, batch, ndim)
+
+    outs, i = [], 0
+    while i < n_steps:
+        c = 1 << int(np.floor(np.log2(n_steps - i)))
+        c = min(c, 32)
+        out = fwd(variables, vol_p, jnp.asarray(starts_all[i:i + c]))
+        outs.append(out.reshape((c * batch,) + out.shape[2:]))
+        i += c
 
     a = jnp.concatenate(outs, axis=0)[:n_blocks] if len(outs) > 1 else outs[0][:n_blocks]
     a = a.reshape(grid + (n_out,) + block_shape)
