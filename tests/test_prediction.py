@@ -126,3 +126,18 @@ class TestPredictWithHalo:
                                            disable_tqdm=True, batch_size=2))
         assert dev.shape == host.shape
         assert np.allclose(host[:, 24:-24, 24:-24], dev[:, 24:-24, 24:-24], atol=1e-5)
+
+    def test_device_resident_multi_chunk_scan(self, model2d):
+        """A non-power-of-two scan-step count decomposes into pow2 chunks
+        (e.g. 28 blocks / batch 4 = 7 steps -> dispatches of 4+2+1); the
+        chunked dispatch must equal the host path on interior voxels."""
+        import jax.numpy as jnp
+
+        x = np.random.rand(7 * 16, 4 * 16).astype("float32")  # 28 blocks of 16x16
+        host = predict_with_halo(x, model2d, gpu_ids=["cpu"], block_shape=(16, 16),
+                                 halo=(8, 8), disable_tqdm=True)
+        dev = np.asarray(predict_with_halo(jnp.asarray(x), model2d, gpu_ids=["cpu"],
+                                           block_shape=(16, 16), halo=(8, 8),
+                                           disable_tqdm=True, batch_size=4))
+        assert dev.shape == host.shape
+        assert np.allclose(host, dev, atol=1e-5)
