@@ -33,7 +33,7 @@ done
 
 # 4) CREMI tracked-scale TPU run (patch (32,256,256), bench model)
 [ -f parity_out3d_tracked/tpu_result3d.json ] || \
-  timeout 1500 python train_tpu3d.py -d parity_data3d_tracked -o parity_out3d_tracked \
+  timeout 1500 python train_tpu3d.py -d parity_data3d_tracked -o parity_out3d_tracked --device-transform \
     -n 2000 --patch 32,256,256 --features 32 --tracked-model --seed 0 --resume \
     > tpu3d_tracked.log 2>&1
 

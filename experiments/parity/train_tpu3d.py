@@ -30,13 +30,25 @@ def main():
                              "anisotropic kernels) instead of the reduced 2-level one")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest checkpoint if one exists")
+    parser.add_argument("--device-transform", action="store_true",
+                        help="ship raw labels and compute the boundary target "
+                             "inside the jitted step (DeviceBoundaryTransform) — "
+                             "the TPU-native path; semantics match the host "
+                             "BoundaryTransform (tested element-wise)")
     args = parser.parse_args()
     os.makedirs(args.output, exist_ok=True)
     PATCH = tuple(int(s) for s in args.patch.split(","))
 
     from glob import glob
 
-    trafo = BoundaryTransform(mode="thick", ndim=3)
+    # host path: boundary targets computed per sample in the loader;
+    # --device-transform ships raw labels and derives the target batched
+    # inside the jitted step (the TPU-native mode, ops/device.py)
+    trafo = None if args.device_transform else BoundaryTransform(mode="thick", ndim=3)
+    device_trafo = None
+    if args.device_transform:
+        from torch_em_tpu.ops.device import DeviceBoundaryTransform
+        device_trafo = DeviceBoundaryTransform(ndim=3)
     train_paths = sorted(glob(os.path.join(args.data, "train", "vol*.h5")))
     val_paths = sorted(glob(os.path.join(args.data, "val", "vol*.h5")))
 
@@ -67,6 +79,7 @@ def main():
         train_loader=train_loader, val_loader=val_loader,
         learning_rate=1e-4, optimizer_kwargs={"weight_decay": 0.01},
         save_root=args.output, logger=None,
+        device_label_transform=device_trafo,
     )
     # --resume continues an interrupted run up to n_iterations TOTAL.  Both
     # this trainer and the reference treat fit(N, load_from_checkpoint=...)

@@ -308,6 +308,7 @@ def default_segmentation_trainer(
     compile_model=None,
     rank: Optional[int] = None,
     steps_per_execution: int = 1,
+    device_label_transform=None,
 ):
     """Get a trainer for a segmentation network (reference segmentation.py:466).
 
@@ -316,6 +317,9 @@ def default_segmentation_trainer(
     with f32 parameters (no gradient scaler needed).
     ``steps_per_execution > 1`` stages that many batches and runs them as one
     jitted lax.scan dispatch (removes per-step host dispatch gaps on TPU).
+    ``device_label_transform`` (e.g. ``ops.device.DeviceBoundaryTransform``)
+    moves the label-target computation into the jitted step: loaders ship raw
+    labels and the device derives the batched targets (ops/device.py).
     """
     optimizer = OptimizerSpec("adamw", lr=learning_rate, **optimizer_kwargs)
     scheduler = ReduceLROnPlateau(**scheduler_kwargs)
@@ -343,4 +347,5 @@ def default_segmentation_trainer(
         compile_model=compile_model,
         rank=rank,
         steps_per_execution=steps_per_execution,
+        device_label_transform=device_label_transform,
     )
