@@ -151,6 +151,46 @@ def main():
     # v5e peak: 197 TFLOP/s bf16
     mfu = (flops_per_step * steps_per_sec) / 197e12 if flops_per_step else None
 
+    # optional sections record WHY they were skipped (never silently null —
+    # round-3 VERDICT item: the driver artifact must be self-explaining)
+    skips = {}
+
+    # secondary metric: tiled-inference throughput (Mvoxel/s) on a synthetic
+    # volume. Runs BEFORE the loader section so it always lands in the driver
+    # artifact even when the budget runs out on the slow loader modes.
+    inference_mvoxps = None
+    try:
+        if over_budget():
+            raise TimeoutError("budget exceeded before tiled-inference section")
+        from torch_em_tpu.utils.prediction import predict_with_halo
+
+        volume = rng.random((64, 512, 512), dtype=np.float32)
+        fwd_model = AnisotropicUNet(
+            in_channels=1, out_channels=1,
+            scale_factors=[[1, 2, 2], [1, 2, 2], [2, 2, 2], [2, 2, 2]],
+            initial_features=32, final_activation="Sigmoid", anisotropic_kernel=True,
+            dtype=jnp.bfloat16,
+        )
+        # Device-resident block-scan path (volume in HBM, prediction in HBM):
+        # apples-to-apples with the training metric above, which also runs on
+        # device-resident tensors. The host-e2e path is bounded by the axon
+        # tunnel's ~20MB/s host<->device bandwidth in this environment, which
+        # measures the tunnel, not the framework.
+        vol_dev = jax.device_put(volume, device)
+        out = predict_with_halo(vol_dev, fwd_model, gpu_ids=None,
+                                block_shape=(32, 512, 512), halo=(4, 32, 32),
+                                disable_tqdm=True, output_dtype="float16")
+        jax.block_until_ready(out)  # warmup (compile)
+        t0 = time.perf_counter()
+        out = predict_with_halo(vol_dev, fwd_model, gpu_ids=None,
+                                block_shape=(32, 512, 512), halo=(4, 32, 32),
+                                disable_tqdm=True, output_dtype="float16")
+        jax.block_until_ready(out)
+        dt_inf = time.perf_counter() - t0
+        inference_mvoxps = float(np.prod(volume.shape) / dt_inf / 1e6)
+    except Exception as e:
+        skips["tiled_inference"] = f"{type(e).__name__}: {e}"
+
     # secondary metric: patches/s with the REAL host data path in the loop
     # (SegmentationDataset over h5 + AffinityTransform + prefetching loader
     # feeding the same jitted step) — measures whether the host keeps up with
@@ -161,7 +201,7 @@ def main():
     loader_device_patches_per_sec = None
     try:
         if over_budget():
-            raise TimeoutError
+            raise TimeoutError("budget exceeded before loader section")
         import shutil
         import tempfile
 
@@ -209,7 +249,9 @@ def main():
 
         # (b) host transforms, spawn-process workers — only meaningful on
         # many-core hosts; recorded either way for the comparison
-        if not over_budget():
+        if over_budget():
+            skips["loader_process_workers"] = "budget exceeded"
+        else:
             ploader = TemLoader(make_host_ds(), batch_size=batch_size, shuffle=True,
                                 num_workers=2, worker_mode="process")
             try:
@@ -220,7 +262,9 @@ def main():
         # (c) raw labels + the label transform FUSED INSIDE the jitted train
         # step — the trainer's own device_label_transform path
         # (trainer/default_trainer.py:_compute_loss), not a separate dispatch
-        if not over_budget():
+        if over_budget():
+            skips.setdefault("loader_device_transform", "budget exceeded")
+        else:
             from torch_em_tpu.ops.device import DeviceAffinityTransform
 
             dev_trafo = DeviceAffinityTransform(offsets=[[-1, 0, 0]])
@@ -247,42 +291,8 @@ def main():
                 TemLoader(ds_raw, batch_size=batch_size, shuffle=True, num_workers=2),
                 step_fused)
         shutil.rmtree(tmpdir, ignore_errors=True)
-    except Exception:
-        pass
-
-    # secondary metric: tiled-inference throughput (Mvoxel/s) on a synthetic volume
-    inference_mvoxps = None
-    try:
-        if over_budget():
-            raise TimeoutError
-        from torch_em_tpu.utils.prediction import predict_with_halo
-
-        volume = rng.random((64, 512, 512), dtype=np.float32)
-        fwd_model = AnisotropicUNet(
-            in_channels=1, out_channels=1,
-            scale_factors=[[1, 2, 2], [1, 2, 2], [2, 2, 2], [2, 2, 2]],
-            initial_features=32, final_activation="Sigmoid", anisotropic_kernel=True,
-            dtype=jnp.bfloat16,
-        )
-        # Device-resident block-scan path (volume in HBM, prediction in HBM):
-        # apples-to-apples with the training metric above, which also runs on
-        # device-resident tensors. The host-e2e path is bounded by the axon
-        # tunnel's ~20MB/s host<->device bandwidth in this environment, which
-        # measures the tunnel, not the framework.
-        vol_dev = jax.device_put(volume, device)
-        out = predict_with_halo(vol_dev, fwd_model, gpu_ids=None,
-                                block_shape=(32, 512, 512), halo=(4, 32, 32),
-                                disable_tqdm=True, output_dtype="float16")
-        jax.block_until_ready(out)  # warmup (compile)
-        t0 = time.perf_counter()
-        out = predict_with_halo(vol_dev, fwd_model, gpu_ids=None,
-                                block_shape=(32, 512, 512), halo=(4, 32, 32),
-                                disable_tqdm=True, output_dtype="float16")
-        jax.block_until_ready(out)
-        dt_inf = time.perf_counter() - t0
-        inference_mvoxps = float(np.prod(volume.shape) / dt_inf / 1e6)
-    except Exception:
-        pass
+    except Exception as e:
+        skips["loader"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": "unet3d_train_patches_per_sec_chip",
@@ -309,6 +319,7 @@ def main():
             "host_cpu_count": os.cpu_count(),
             "tiled_inference_mvoxels_per_sec": None if inference_mvoxps is None
             else round(inference_mvoxps, 2),
+            "skipped_sections": skips or None,
             "device": str(jax.devices()[0]),
         },
     }))

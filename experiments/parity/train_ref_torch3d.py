@@ -69,6 +69,10 @@ def main():
     parser.add_argument("--tracked-model", action="store_true",
                         help="use the bench.py north-star model (4 levels, "
                              "anisotropic kernels) instead of the reduced 2-level one")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from ref_ckpt3d.pt (saved each epoch) up "
+                             "to n_iterations TOTAL — exact resume incl. the "
+                             "data-sampling rng state")
     args = parser.parse_args()
     os.makedirs(args.output, exist_ok=True)
     global PATCH
@@ -114,10 +118,21 @@ def main():
     yv = torch.from_numpy(tgt_va[:, None, :PATCH[0], :PATCH[1], :PATCH[2]].copy())
 
     rng = np.random.default_rng(args.seed)
-    gen = batches(rng, raw_tr, tgt_tr, args.batch_size)
     best_metric, it, epoch = np.inf, 0, 0
+    ckpt_path = os.path.join(args.output, "ref_ckpt3d.pt")
+    if args.resume and os.path.exists(ckpt_path):
+        state = torch.load(ckpt_path, weights_only=False)
+        model.load_state_dict(state["model"])
+        optimizer.load_state_dict(state["optimizer"])
+        scheduler.load_state_dict(state["scheduler"])
+        rng.bit_generator.state = state["rng_state"]
+        best_metric, it, epoch = state["best_metric"], state["it"], state["epoch"]
+        print(f"resuming at iteration {it} (epoch {epoch}), best {best_metric:.4f}",
+              flush=True)
+    gen = batches(rng, raw_tr, tgt_tr, args.batch_size)
     iters_per_epoch = 50
     t0 = time.time()
+    it0 = it
     while it < args.n_iterations:
         model.train()
         for _ in range(iters_per_epoch):
@@ -138,8 +153,13 @@ def main():
         if metric < best_metric:
             best_metric = metric
             torch.save(model.state_dict(), os.path.join(args.output, "ref_best3d.pt"))
+        torch.save({
+            "model": model.state_dict(), "optimizer": optimizer.state_dict(),
+            "scheduler": scheduler.state_dict(), "rng_state": rng.bit_generator.state,
+            "best_metric": best_metric, "it": it, "epoch": epoch,
+        }, ckpt_path)
         print(f"epoch {epoch} it {it} val_metric {metric:.4f} best {best_metric:.4f} "
-              f"({(time.time() - t0) / max(it, 1):.2f} s/it)", flush=True)
+              f"({(time.time() - t0) / max(it - it0, 1):.2f} s/it)", flush=True)
 
     model.load_state_dict(torch.load(os.path.join(args.output, "ref_best3d.pt"), weights_only=True))
     model.eval()

@@ -30,12 +30,23 @@ def main():
                              "anisotropic kernels) instead of the reduced 2-level one")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest checkpoint if one exists")
+    parser.add_argument("--plain-lowering", action="store_true",
+                        help="disable all UNet perf switches (packing, pallas "
+                             "norm, norm fold) — dynamics-isolation ablation")
+    parser.add_argument("--fp32", action="store_true",
+                        help="train in full f32 (mixed_precision=False) — the "
+                             "reference parity side runs fp32, and bf16 compute "
+                             "on the tiny f=8 model is a per-seed stall suspect")
     parser.add_argument("--device-transform", action="store_true",
                         help="ship raw labels and compute the boundary target "
                              "inside the jitted step (DeviceBoundaryTransform) — "
                              "the TPU-native path; semantics match the host "
                              "BoundaryTransform (tested element-wise)")
     args = parser.parse_args()
+    if args.plain_lowering:
+        from torch_em_tpu.models.unet import perf_options
+        perf_options(packing=False, pallas_norm=False, phase_packing=False,
+                     norm_fold=False)
     os.makedirs(args.output, exist_ok=True)
     PATCH = tuple(int(s) for s in args.patch.split(","))
 
@@ -80,6 +91,7 @@ def main():
         learning_rate=1e-4, optimizer_kwargs={"weight_decay": 0.01},
         save_root=args.output, logger=None,
         device_label_transform=device_trafo,
+        mixed_precision=not args.fp32,
     )
     # --resume continues an interrupted run up to n_iterations TOTAL.  Both
     # this trainer and the reference treat fit(N, load_from_checkpoint=...)
@@ -98,11 +110,15 @@ def main():
     trainer.load_checkpoint("best")
     import jax
 
+    # the eval-side target is always computed on the host, independent of
+    # whether training used the device transform (ADVICE r3: trafo is None
+    # under --device-transform, which used to crash here post-training)
+    eval_trafo = trafo if trafo is not None else BoundaryTransform(mode="thick", ndim=3)
     raw_va, tgt_va = [], []
     for path in val_paths:
         with h5py.File(path, "r") as f:
             raw_va.append(f["raw"][:])
-            tgt_va.append(trafo(f["labels"][:]).astype("float32")[0])
+            tgt_va.append(eval_trafo(f["labels"][:]).astype("float32")[0])
     raw_va, tgt_va = np.stack(raw_va), np.stack(tgt_va)
     xv = raw_va[:, None, :PATCH[0], :PATCH[1], :PATCH[2]].astype("float32")
 

@@ -305,3 +305,31 @@ class TestDeviceLabelTransforms:
         restored = DT.from_checkpoint("./checkpoints/device-lt", name="latest", device="cpu")
         assert restored.device_label_transform is not None
         assert restored.device_label_transform.init_kwargs["add_binary_target"] is True
+
+    def test_trainer_factory_kwarg(self, tmp_path, monkeypatch):
+        # regression: the factory must forward device_label_transform when given
+        # directly, and must NOT forward a colliding None when a custom
+        # trainer_class binds it itself (the lambda path above).
+        import h5py
+
+        import torch_em_tpu as tem
+        from torch_em_tpu.models import UNet2d
+        from torch_em_tpu.ops.device import DeviceBoundaryTransform
+
+        monkeypatch.chdir(tmp_path)
+        p = str(tmp_path / "d.h5")
+        with h5py.File(p, "w") as f:
+            f.create_dataset("raw", data=np.random.rand(8, 32, 32).astype("float32"))
+            f.create_dataset("labels", data=np.random.randint(0, 4, (8, 32, 32)))
+        loader = tem.default_segmentation_loader(
+            p, "raw", p, "labels", batch_size=2, patch_shape=(1, 32, 32), ndim=2,
+            label_dtype="int32")
+        model = UNet2d(in_channels=1, out_channels=2, initial_features=4, depth=2,
+                       final_activation="Sigmoid")
+        trainer = tem.default_segmentation_trainer(
+            "device-lt-factory", model, loader, loader, logger=None, device="cpu",
+            device_label_transform=DeviceBoundaryTransform(add_binary_target=True, ndim=2),
+        )
+        assert trainer.device_label_transform is not None
+        trainer.fit(iterations=1)
+        assert trainer.iteration == 1

@@ -155,72 +155,86 @@ def _gdf_from_cellvit_geojson(geojson_path):
     return gpd.GeoDataFrame(records, geometry="geometry")
 
 
+def _window_geometries(cells_gdf, patch_x, patch_y, patch_size, native_scale):
+    """Select the nuclei whose bounding boxes overlap one patch window and map
+    them into patch-pixel coordinates (0.5 um/px grid), vectorized over the
+    whole GeoSeries. Geometries that only graze the window rasterize to zero
+    pixels downstream, so bbox selection via the ``.cx`` spatial index matches
+    an exact intersection test while staying index-accelerated."""
+    span = round(patch_size * native_scale)
+    window = cells_gdf.cx[patch_x:patch_x + span, patch_y:patch_y + span]
+    if len(window) == 0:
+        return None
+    geoms = window.geometry.translate(xoff=-patch_x, yoff=-patch_y)
+    if native_scale != 1.0:
+        geoms = geoms.scale(xfact=1.0 / native_scale, yfact=1.0 / native_scale, origin=(0, 0))
+    return geoms
+
+
+def _burn(geoms, values, patch_size):
+    from rasterio.features import rasterize as rio_rasterize
+
+    return rio_rasterize(
+        zip(geoms, values), out_shape=(patch_size, patch_size), fill=0, dtype=np.int32)
+
+
 def _rasterize_patch_instances(patch_x, patch_y, patch_size, cells_gdf, native_scale=1.0):
-    """Rasterize nucleus polygons within one patch to an instance mask.
+    """Instance mask for one patch: each nucleus polygon gets a unique id >= 1.
     native_scale = native WSI pixels per 0.5 um/px patch pixel."""
     try:
-        from rasterio.features import rasterize as rio_rasterize
-        from shapely.affinity import scale as affine_scale, translate
-        from shapely.geometry import box
+        import rasterio.features  # noqa: F401
+
+        geoms = _window_geometries(cells_gdf, patch_x, patch_y, patch_size, native_scale)
     except ImportError:
         raise ImportError("rasterio and shapely are required for HEST preprocessing.")
-
-    native_size = round(patch_size * native_scale)
-    patch_box = box(patch_x, patch_y, patch_x + native_size, patch_y + native_size)
-    local = cells_gdf[cells_gdf.geometry.intersects(patch_box)].copy()
-    if local.empty:
+    if geoms is None:
         return np.zeros((patch_size, patch_size), dtype=np.int32)
-    inv = 1.0 / native_scale
-    local["geometry"] = local["geometry"].apply(
-        lambda g: affine_scale(translate(g, xoff=-patch_x, yoff=-patch_y), xfact=inv, yfact=inv, origin=(0, 0)))
-    shapes = ((geom, i + 1) for i, geom in enumerate(local.geometry))
-    return rio_rasterize(shapes, out_shape=(patch_size, patch_size), fill=0, dtype=np.int32)
+    return _burn(geoms, range(1, len(geoms) + 1), patch_size)
 
 
 def _rasterize_patch_semantic(patch_x, patch_y, patch_size, cells_gdf, spot_labels,
                               native_scale=1.0, spot_tree=None):
-    """Rasterize nuclei to a cell-type mask: each nucleus takes the label of
-    its nearest ST spot (KDTree over native WSI coordinates)."""
+    """Cell-type mask for one patch: each nucleus is burned with the label of
+    its nearest ST spot (nearest-neighbor lookup in native WSI coordinates,
+    queried on the patch-local centroids mapped back to native space)."""
     try:
-        from rasterio.features import rasterize as rio_rasterize
+        import rasterio.features  # noqa: F401
         from scipy.spatial import cKDTree
-        from shapely.affinity import scale as affine_scale, translate
-        from shapely.geometry import box
+
+        geoms = _window_geometries(cells_gdf, patch_x, patch_y, patch_size, native_scale)
     except ImportError:
         raise ImportError("rasterio, shapely, and scipy are required for HEST preprocessing.")
-
-    native_size = round(patch_size * native_scale)
-    patch_box = box(patch_x, patch_y, patch_x + native_size, patch_y + native_size)
-    local = cells_gdf[cells_gdf.geometry.intersects(patch_box)].copy()
-    if local.empty:
+    if geoms is None:
         return np.zeros((patch_size, patch_size), dtype=np.int32)
 
-    tree = spot_tree if spot_tree is not None else cKDTree(spot_labels[:, :2])
-    centroids = np.array([[g.centroid.x, g.centroid.y] for g in local.geometry])
-    _, idx = tree.query(centroids)
-    local["label"] = spot_labels[idx, 2].astype(int)
-
-    inv = 1.0 / native_scale
-    local["geometry"] = local["geometry"].apply(
-        lambda g: affine_scale(translate(g, xoff=-patch_x, yoff=-patch_y), xfact=inv, yfact=inv, origin=(0, 0)))
-    shapes = ((geom, int(label)) for geom, label in zip(local.geometry, local["label"]))
-    return rio_rasterize(shapes, out_shape=(patch_size, patch_size), fill=0, dtype=np.int32)
+    if spot_tree is None:
+        spot_tree = cKDTree(spot_labels[:, :2])
+    # patch-local centroid -> native WSI coordinate, vectorized
+    cent = geoms.centroid
+    native_xy = np.stack([cent.x.to_numpy(), cent.y.to_numpy()], axis=1) * native_scale
+    native_xy += (patch_x, patch_y)
+    nearest = spot_tree.query(native_xy)[1]
+    return _burn(geoms, spot_labels[nearest, 2].astype(np.int32), patch_size)
 
 
 def _load_panglaodb(cache_path):
+    """Marker-gene table (human rows only) from PanglaoDB, cached on disk."""
     import pandas as pd
 
-    tsv_path = os.path.join(cache_path, "PanglaoDB_markers.tsv.gz")
+    os.makedirs(cache_path, exist_ok=True)
+    tsv_path = os.path.join(cache_path, os.path.basename(PANGLAODB_URL))
     if not os.path.exists(tsv_path):
-        import urllib.request
+        # panglaodb.se rejects the default urllib UA, so go through requests
+        # with a browser UA rather than util.download_source
+        import requests
 
-        os.makedirs(cache_path, exist_ok=True)
-        req = urllib.request.Request(PANGLAODB_URL, headers={"User-Agent": "Mozilla/5.0"})
-        with urllib.request.urlopen(req) as resp, open(tsv_path, "wb") as fh:
-            fh.write(resp.read())
-    df = pd.read_csv(tsv_path, sep="\t")
-    df = df[df["species"].str.contains("Hs", na=False)]  # human genes only
-    return df[["official gene symbol", "cell type"]].copy()
+        resp = requests.get(PANGLAODB_URL, headers={"User-Agent": "Mozilla/5.0"}, timeout=120)
+        resp.raise_for_status()
+        with open(tsv_path, "wb") as fh:
+            fh.write(resp.content)
+    table = pd.read_csv(tsv_path, sep="\t", usecols=["species", "official gene symbol", "cell type"])
+    human = table["species"].str.contains("Hs", na=False)
+    return table.loc[human, ["official gene symbol", "cell type"]]
 
 
 def _cell_type_to_category(cell_type_name: str) -> str:

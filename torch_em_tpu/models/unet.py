@@ -68,6 +68,37 @@ POSTPROCESSING = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Parameter initialization
+#
+# The reference ConvBlock (torch_em/model/unet.py:409-441) relies on torch's
+# Conv2d/3d DEFAULT init: kaiming_uniform(a=sqrt(5)) on the weight — which
+# algebraically reduces to U(-1/sqrt(fan_in), +1/sqrt(fan_in)) with
+# fan_in = in_channels * prod(kernel_size) — plus a uniform bias with the
+# same bound.  flax's lecun_normal has 3x the weight variance and a zero
+# bias; that difference was measured to slow CREMI-3D convergence by up to
+# 5x on some seeds (round-3 parity sweep), so the UNet family initializes
+# conv kernels and biases with the torch-matching distributions.
+# ---------------------------------------------------------------------------
+
+def _torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch Conv default weight init for a ``kernel_size + (I, O)`` kernel."""
+    fan_in = int(np.prod(shape[:-1]))
+    bound = fan_in ** -0.5
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def _torch_conv_bias_init(fan_in):
+    """torch Conv default bias init: U(+-1/sqrt(fan_in)) with the WEIGHT's
+    fan_in (the bias shape alone does not determine it, so it is a closure)."""
+    bound = int(fan_in) ** -0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
 def _get_postprocessing(postprocessing):
     if postprocessing is None:
         return None
@@ -546,10 +577,12 @@ class _ConvPhase(nn.Module):
         parts = x if isinstance(x, (tuple, list)) else (x,)
         in_features = sum(p.shape[-1] // 4 for p in parts)
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(batch_axis=(), in_axis=-2, out_axis=-1),
+            "kernel", _torch_conv_kernel_init,
             tuple(self.kernel_size) + (in_features, self.features), jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        fan_in = in_features * int(np.prod(self.kernel_size))
+        bias = self.param("bias", _torch_conv_bias_init(fan_in),
+                          (self.features,), jnp.float32)
         y = None
         c0 = 0
         t_total = None
@@ -589,9 +622,10 @@ class _DensePhase(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1] // 4
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        kernel = self.param("kernel", _torch_conv_kernel_init,
                             (c, self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        bias = self.param("bias", _torch_conv_bias_init(c),
+                          (self.features,), jnp.float32)
         kb = jnp.zeros((4 * c, 4 * self.features), self.dtype)
         for g in range(4):
             kb = kb.at[g * c:(g + 1) * c, g * self.features:(g + 1) * self.features].set(
@@ -1194,10 +1228,12 @@ class _Conv2dFast(nn.Module):
         div = self.pack
         in_features = sum(p.shape[-1] // div for p in parts)
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(batch_axis=(), in_axis=-2, out_axis=-1),
+            "kernel", _torch_conv_kernel_init,
             tuple(self.kernel_size) + (in_features, self.features), jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        bias = self.param("bias",
+                          _torch_conv_bias_init(in_features * int(np.prod(self.kernel_size))),
+                          (self.features,), jnp.float32)
         y = None
         c0 = 0
         t_total = None
@@ -1251,10 +1287,12 @@ class _Conv3dFast(nn.Module):
         div = self.pack
         in_features = sum(p.shape[-1] // div for p in parts)
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(batch_axis=(), in_axis=-2, out_axis=-1),
+            "kernel", _torch_conv_kernel_init,
             self.kernel_size + (in_features, self.features), jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        bias = self.param("bias",
+                          _torch_conv_bias_init(in_features * int(np.prod(self.kernel_size))),
+                          (self.features,), jnp.float32)
         y = None
         c0 = 0
         t_total = None
@@ -1508,7 +1546,10 @@ class ConvBlock(nn.Module):
                 x = _Conv2dFast(self.out_channels, tuple(ks), pad, dtype=self.dtype,
                                 name=f"conv{i}")(parts, fold=folds)
             else:
+                fan_in = parts[0].shape[-1] * int(np.prod(ks))
                 x = nn.Conv(self.out_channels, ks, padding=pad, dtype=self.dtype,
+                            kernel_init=_torch_conv_kernel_init,
+                            bias_init=_torch_conv_bias_init(fan_in),
                             name=f"conv{i}")(parts[0])
             x = _relu_o(x)
         if keep_packed:
@@ -1670,7 +1711,9 @@ class Upsampler(nn.Module):
         # mixing (and preserves the constant bias), so the result is identical
         # while the matmul touches prod(factor)-times fewer pixels and the
         # interpolation runs on out_channels instead of in_channels.
-        x = nn.Dense(self.out_channels, dtype=self.dtype, name="conv")(x)
+        x = nn.Dense(self.out_channels, dtype=self.dtype, name="conv",
+                     kernel_init=_torch_conv_kernel_init,
+                     bias_init=_torch_conv_bias_init(x.shape[-1]))(x)
         if self.phase_out and tuple(factor) == (2, 2) and self.mode == "linear":
             # identical values to _upsample, emitted without ever
             # materializing the full-resolution spatial layout
@@ -1893,7 +1936,9 @@ class UNetModule(nn.Module):
                     out = _unpack_w(out, out_pack)
                 if out_channels is not None:
                     # pointwise conv as Dense: rep-independent (I, O) parameters
-                    out = nn.Dense(out_channels, dtype=self.dtype, name=conv_name)(out)
+                    out = nn.Dense(out_channels, dtype=self.dtype, name=conv_name,
+                                   kernel_init=_torch_conv_kernel_init,
+                                   bias_init=_torch_conv_bias_init(out.shape[-1]))(out)
             if out_rep2d:
                 out = to3d(out, out_d)
             inv_perm = (0, out.ndim - 1) + tuple(range(1, out.ndim - 1))

@@ -327,7 +327,7 @@ def default_segmentation_trainer(
     loss = DiceLoss() if loss is None else loss
     metric = DiceLoss() if metric is None else metric
 
-    return trainer_class(
+    trainer_kwargs = dict(
         name=name,
         model=model,
         train_loader=train_loader,
@@ -347,5 +347,9 @@ def default_segmentation_trainer(
         compile_model=compile_model,
         rank=rank,
         steps_per_execution=steps_per_execution,
-        device_label_transform=device_label_transform,
     )
+    # Only forward when set: a user-supplied trainer_class (e.g. a lambda that
+    # already binds device_label_transform) must not receive a colliding kwarg.
+    if device_label_transform is not None:
+        trainer_kwargs["device_label_transform"] = device_label_transform
+    return trainer_class(**trainer_kwargs)
