@@ -289,29 +289,27 @@ class TestSamConversion:
         np.testing.assert_allclose(np.asarray(out_jax), out_torch, atol=2e-4, rtol=2e-3)
         assert len(intermediates) == 2
 
-    def test_backbone_converter_coverage(self, tmp_path):
+    def test_backbone_converter_coverage(self):
         # every reference backbone family routes to a verified conversion path
         # (dinov2/3: tests/test_dino_conversion.py, mae/scalemae:
         # tests/test_scalemae_conversion.py, sam2: tests/test_hiera_conversion.py,
-        # cellpose_sam: this file) EXCEPT sam3, whose PE/vitdet geometry cannot
-        # be verified without the sam3 package source — conversion refuses
-        # loudly instead of silently approximating
-        from torch_em_tpu.models.vit import (
-            UNSUPPORTED_CONVERSION_BACKBONES, load_sam_weights,
-        )
+        # sam3: tests/test_sam3_conversion.py, cellpose_sam: this file) —
+        # the refusal list is empty
+        from torch_em_tpu.models.vit import UNSUPPORTED_CONVERSION_BACKBONES
 
-        assert UNSUPPORTED_CONVERSION_BACKBONES == ("sam3",)
-        with pytest.raises(NotImplementedError):
-            load_sam_weights({}, "/nonexistent.pt", backbone="sam3")
+        assert UNSUPPORTED_CONVERSION_BACKBONES == ()
 
     def test_sam3_factory_dims(self):
-        # the factory still builds the reference's vit_pe shape for
-        # from-scratch training (reference vit.py:866-877)
+        # the factory builds the reference's vit_pe geometry
+        # (reference vit.py:866-877) via the native Sam3ViT
+        from torch_em_tpu.models.sam3 import Sam3ViT
         from torch_em_tpu.models.vit import get_vision_transformer
 
         m = get_vision_transformer(backbone="sam3", model="vit_pe")
+        assert isinstance(m, Sam3ViT)
         assert m.embed_dim == 1024 and m.depth == 32 and m.patch_size == 14
-        assert m.window_size == 24 and not m.use_rel_pos and m.img_size == 1008
+        assert m.window_size == 24 and m.img_size == 1008
+        assert m.pretrain_img_size == 336 and m.mlp_ratio == 4.625
         with pytest.raises(ValueError):
             get_vision_transformer(backbone="sam3", model="vit_b")
 

@@ -8,6 +8,7 @@ from .resnet3d import (
     wide_resnet3d_50_2, wide_resnet3d_101_2,
 )
 from .dino import DinoV2ViT, DinoV3ViT
+from .sam3 import Sam3ViT
 from .scalemae import MAEViT, ScaleMAEViT
 from .unet import AnisotropicUNet, POSTPROCESSING, UNet2d, UNet3d, UNetModule
 from .unetr import UNETR, UNETR2D, UNETR3D, DepthStripPooling

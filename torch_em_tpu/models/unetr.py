@@ -82,9 +82,10 @@ class UNETRModule(nn.Module):
             # consumes the RAW embed_dim features; the SAM family's neck
             # params still exist for strict checkpoint conversion.
             # neck-less encoder families take no apply_neck kwarg; only the
-            # SAM-family grid ViTs carry (and skip) a neck
+            # SAM-family grid ViTs carry (and skip) a neck (sam3's native
+            # Sam3ViT has no neck parameters at all)
             extra = ({"apply_neck": False}
-                     if self.backbone in ("sam", "sam3", "cellpose_sam") else {})
+                     if self.backbone in ("sam", "cellpose_sam") else {})
             self.encoder = get_vision_transformer(
                 backbone=self.backbone, model=self.encoder_name, img_size=self.img_size,
                 in_chans=self.in_chans, dtype=self.dtype, **extra,

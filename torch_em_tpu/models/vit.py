@@ -254,14 +254,10 @@ BACKBONE_DEFAULTS = {
 }
 
 # backbones whose reference geometry is NOT faithfully implemented yet;
-# checkpoint conversion refuses these rather than silently diverging
-# sam3's perception-encoder/vitdet geometry (interpolated 2D RoPE inside the
-# windowed attentions + ln_pre) lives in the external sam3 package; without
-# its source a native re-implementation cannot be verified, so conversion is
-# refused rather than silently producing a different function. The factory
-# still builds an encoder at the reference's vit_pe dimensions for
-# from-scratch training.
-UNSUPPORTED_CONVERSION_BACKBONES = ("sam3",)
+# checkpoint conversion refuses these rather than silently diverging.
+# (Empty since sam3 gained a native PE/vitdet geometry + strict converter in
+# models/sam3.py; kept as the refusal mechanism for future backbones.)
+UNSUPPORTED_CONVERSION_BACKBONES = ()
 
 
 def get_vision_transformer(backbone: str = "sam", model: str = "vit_b",
@@ -308,20 +304,20 @@ def get_vision_transformer(backbone: str = "sam", model: str = "vit_b",
     if backbone == "sam3":
         # reference vit.py:866-877: SAM3 uses the perception-encoder ViT
         # ("vit_pe": 1008px, patch 14, depth 32, mlp 4.625, window 24, global
-        # blocks (7,15,23,31), no rel-pos, no neck). The PE-internal RoPE +
-        # ln_pre are NOT reproduced (see UNSUPPORTED_CONVERSION_BACKBONES);
-        # this encoder matches the reference's shapes for from-scratch use.
+        # blocks (7,15,23,31), tiled abs pos from the 336px pretraining grid,
+        # ln_pre, interpolated axial 2D RoPE, no rel-pos, no neck) — native
+        # implementation in models/sam3.py.
+        from .sam3 import SAM3_CONFIG, Sam3ViT
+
         if model != "vit_pe":
             raise ValueError(
                 "'sam3' does not have multiple model configurations. "
                 "Please use 'vit_pe' as the model configuration.")
-        cfg = dict(embed_dim=1024, depth=32, num_heads=16, mlp_ratio=4.625,
-                   patch_size=14, global_attn_indexes=(7, 15, 23, 31),
-                   window_size=24, use_rel_pos=False, use_neck=False)
+        cfg = dict(SAM3_CONFIG)
         cfg.update(kwargs)
-        if img_size == 1024:  # the reference hard-codes 1008 for sam3
-            img_size = 1008
-        return ViT(img_size=img_size, in_chans=in_chans, dtype=dtype, **cfg)
+        if img_size != 1024:  # the reference hard-codes 1008 for sam3
+            cfg["img_size"] = img_size
+        return Sam3ViT(in_chans=in_chans, dtype=dtype, **cfg)
     if backbone == "cellpose_sam":
         # CellposeSAM (reference vit.py:120): the SAM vit_l encoder with an
         # 8-pixel patch embed, pos embeds subsampled to the bsize/8 grid, and
@@ -378,10 +374,12 @@ def load_sam_weights(variables, checkpoint_path: str, backbone: str = "sam",
 
     if backbone in UNSUPPORTED_CONVERSION_BACKBONES:
         raise NotImplementedError(
-            f"Checkpoint conversion for backbone '{backbone}' is not supported: its "
-            "perception-encoder/vitdet internals (interpolated RoPE + ln_pre) live in "
-            "the external sam3 package and cannot be re-implemented verifiably. The "
-            "factory still builds the reference's vit_pe shape for from-scratch training.")
+            f"Checkpoint conversion for backbone '{backbone}' is not supported yet; "
+            "refusing rather than silently producing a different function.")
+    if backbone == "sam3":
+        from .sam3 import load_sam3_weights
+
+        return load_sam3_weights(variables, checkpoint_path, strict=strict)
     if backbone == "sam2":
         from .hiera import load_sam2_weights
 
