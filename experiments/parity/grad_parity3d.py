@@ -125,8 +125,8 @@ def main():
     result = {
         "loss_jax": float(jl), "loss_torch": float(tl),
         "loss_rel_gap": abs(float(jl) - float(tl)) / (abs(float(tl)) + 1e-12),
-        "worst_param": worst[0], "worst_rel_err": worst[2],
-        "median_rel_err": float(np.median([r[2] for r in rows])),
+        "worst_param": worst[0], "worst_rel_err": float(worst[2]),
+        "median_rel_err": float(np.median([float(r[2]) for r in rows])),
     }
     out_path = os.path.join(args.output, "grad_parity3d.json")
     with open(out_path, "w") as f:

@@ -37,6 +37,12 @@ def main():
                         help="train in full f32 (mixed_precision=False) — the "
                              "reference parity side runs fp32, and bf16 compute "
                              "on the tiny f=8 model is a per-seed stall suspect")
+    parser.add_argument("--fixed-val", action="store_true",
+                        help="validate on the fixed central patch of each val "
+                             "volume (ROI == patch) instead of random patches — "
+                             "matches the reference parity script's deterministic "
+                             "val protocol, equalizing best-checkpoint selection "
+                             "noise between the sides")
     parser.add_argument("--device-transform", action="store_true",
                         help="ship raw labels and compute the boundary target "
                              "inside the jitted step (DeviceBoundaryTransform) — "
@@ -55,6 +61,13 @@ def main():
     # host path: boundary targets computed per sample in the loader;
     # --device-transform ships raw labels and derives the target batched
     # inside the jitted step (the TPU-native mode, ops/device.py)
+    # identity raw transform: BOTH parity sides train and evaluate on the raw
+    # [0,1] volumes (the hand-rolled reference side feeds f['raw'] patches
+    # directly, and the final dice eval below does the same). The library's
+    # default per-patch standardize would put the TPU side on a different
+    # input distribution than its own eval AND than the reference side —
+    # round-4 forensics measured that mismatch as a ~0.04 dice handicap.
+    identity_raw = lambda x: x  # noqa: E731
     trafo = None if args.device_transform else BoundaryTransform(mode="thick", ndim=3)
     device_trafo = None
     if args.device_transform:
@@ -66,13 +79,24 @@ def main():
     train_loader = torch_em.default_segmentation_loader(
         train_paths, "raw", train_paths, "labels", batch_size=args.batch_size,
         patch_shape=PATCH, ndim=3, label_transform=trafo, label_dtype="float32",
-        n_samples=50 * args.batch_size,
+        raw_transform=identity_raw, n_samples=50 * args.batch_size,
     )
-    val_loader = torch_em.default_segmentation_loader(
-        val_paths, "raw", val_paths, "labels", batch_size=args.batch_size,
-        patch_shape=PATCH, ndim=3, label_transform=trafo, label_dtype="float32",
-        n_samples=8,
-    )
+    if args.fixed_val:
+        # one deterministic central patch per val volume (the reference parity
+        # script evaluates raw_va[:, :patch] fixed patches, train_ref_torch3d.py)
+        val_rois = [tuple(slice(0, p) for p in PATCH)] * len(val_paths)
+        val_loader = torch_em.default_segmentation_loader(
+            val_paths, "raw", val_paths, "labels", batch_size=args.batch_size,
+            patch_shape=PATCH, ndim=3, label_transform=trafo, label_dtype="float32",
+            raw_transform=identity_raw, rois=val_rois,
+            transform=lambda raw, labels: (raw, labels),
+        )
+    else:
+        val_loader = torch_em.default_segmentation_loader(
+            val_paths, "raw", val_paths, "labels", batch_size=args.batch_size,
+            patch_shape=PATCH, ndim=3, label_transform=trafo, label_dtype="float32",
+            raw_transform=identity_raw, n_samples=8,
+        )
 
     if args.tracked_model:
         # the BASELINE.json / bench.py CREMI north-star model

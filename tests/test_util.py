@@ -85,6 +85,62 @@ class TestModelzoo:
         cfg = get_mws_config([[-1, 0], [0, -1]])
         assert cfg["mws"]["offsets"] == [[-1, 0], [0, -1]]
 
+    def test_exported_package_is_spec_conformant(self, trained_checkpoint, tmp_path):
+        # schema-level validation of the produced package against the vendored
+        # 0.4 model-RDF rules (the reference round-trips through
+        # bioimageio.spec/core, reference modelzoo.py:602-614)
+        from torch_em_tpu.utils.bioimageio_spec import validate_model_rdf
+        from torch_em_tpu.utils.modelzoo import export_bioimageio_model
+
+        ckpt, _ = trained_checkpoint
+        export_folder = str(tmp_path / "exported_spec")
+        ok = export_bioimageio_model(
+            ckpt, export_folder, input_data=np.random.rand(1, 32, 32).astype("float32"),
+            name="test-export-spec", checkpoint_name="latest",
+        )
+        assert ok
+        errors, warnings = validate_model_rdf(export_folder)
+        # the UNet family exports pytorch_state_dict weights, so the package
+        # must be FULLY spec-conformant (no downgrades)
+        assert errors == [], errors
+        # the native jax entry is a documented extension -> warning, not error
+        assert any("jax" in w for w in warnings)
+
+    def test_spec_validator_catches_violations(self, trained_checkpoint, tmp_path):
+        import yaml
+
+        from torch_em_tpu.utils.bioimageio_spec import validate_model_rdf
+        from torch_em_tpu.utils.modelzoo import export_bioimageio_model
+
+        ckpt, _ = trained_checkpoint
+        export_folder = str(tmp_path / "exported_mut")
+        assert export_bioimageio_model(
+            ckpt, export_folder, input_data=np.random.rand(1, 32, 32).astype("float32"),
+            name="test-export-mut", checkpoint_name="latest",
+        )
+        rdf_path = os.path.join(export_folder, "rdf.yaml")
+        with open(rdf_path) as f:
+            good = yaml.safe_load(f)
+
+        def errors_of(mutate):
+            rdf = yaml.safe_load(yaml.safe_dump(good))
+            mutate(rdf)
+            with open(rdf_path, "w") as f:
+                yaml.safe_dump(rdf, f)
+            return validate_model_rdf(export_folder)[0]
+
+        assert any("timestamp" in e for e in errors_of(lambda r: r.pop("timestamp")))
+        assert any("axes" in e for e in errors_of(
+            lambda r: r["inputs"][0].update(axes="bqyx")))
+        assert any("shape rank" in e for e in errors_of(
+            lambda r: r["inputs"][0].update(shape=[1, 1, 32])))
+        assert any("cite" in e for e in errors_of(lambda r: r.update(cite=[])))
+        assert any("weight format" in e for e in errors_of(
+            lambda r: r.update(weights={"jax": r["weights"]["jax"]})))
+        # test-tensor shape mismatch against the file on disk
+        assert any("test tensor" in e for e in errors_of(
+            lambda r: r["inputs"][0].update(shape=[2, 1, 32, 32])))
+
 
 class TestValidation:
     def test_validate_checkpoint(self, trained_checkpoint):

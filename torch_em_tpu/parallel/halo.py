@@ -209,7 +209,7 @@ def halo_sharded_predict_large(
 
 
 def spatial_sharded_train_step(model, loss_obj, tx, mesh, halo: Optional[int] = None,
-                               axis_name: str = "space"):
+                               axis_name: str = "space", batch_axis: Optional[str] = None):
     """Training-time spatial sharding: build a jitted train step whose batch
     is sharded along one *spatial* axis of the input across the mesh, with
     halo exchange before the forward — for 3D volumes whose activations do
@@ -229,6 +229,12 @@ def spatial_sharded_train_step(model, loss_obj, tx, mesh, halo: Optional[int] = 
     losses*, which equals the global loss only for mean-decomposable
     objectives (per-pixel means such as BCE/MSE over equal-size shards).
 
+    ``batch_axis`` names a second mesh axis to shard the BATCH dimension over
+    (combined DP + spatial sharding, e.g. ``get_mesh((2, 4), ("data",
+    "space"))``): halo exchange still runs along ``axis_name`` only, while
+    loss statistics / per-shard losses reduce over both axes, so the step is
+    the 2D-sharded equivalent of the unsharded one.
+
     Returns ``(step, shard_batch)``: ``step(variables, opt_state, x, y)`` and
     a helper placing host batches with the right shardings.
     """
@@ -236,6 +242,7 @@ def spatial_sharded_train_step(model, loss_obj, tx, mesh, halo: Optional[int] = 
     if halo is None:
         halo = receptive_field_halo(model, spatial_axis=0)
     module = model.module
+    reduce_axes = (axis_name,) if batch_axis is None else (axis_name, batch_axis)
 
     def local_forward(vars_, local):
         # local: (B, C, s, *rest) — exchange halo along the spatial axis (2)
@@ -252,7 +259,7 @@ def spatial_sharded_train_step(model, loss_obj, tx, mesh, halo: Optional[int] = 
             pred = pred[0]
         return pred[:, :, halo:-halo]
 
-    spec_x = P(None, None, axis_name)
+    spec_x = P(batch_axis, None, axis_name)
 
     decomposable = hasattr(loss_obj, "shard_parts") and hasattr(loss_obj, "loss_from_parts")
 
@@ -263,11 +270,11 @@ def spatial_sharded_train_step(model, loss_obj, tx, mesh, halo: Optional[int] = 
                 # psum the loss's sufficient statistics -> exact global loss
                 parts = loss_obj.shard_parts(pred, yl)
                 parts = jax.tree_util.tree_map(
-                    lambda t: jax.lax.psum(t, axis_name), parts)
+                    lambda t: jax.lax.psum(t, reduce_axes), parts)
                 return loss_obj.loss_from_parts(parts)
             local = loss_obj(pred, yl)
             # average the per-shard losses (equal-size shards)
-            return jax.lax.pmean(local, axis_name)
+            return jax.lax.pmean(local, reduce_axes)
 
         # check_vma=False: the pmean makes the loss replicated, but the
         # static varying-mesh-axes analysis cannot see through the custom-VJP

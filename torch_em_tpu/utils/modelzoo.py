@@ -535,9 +535,14 @@ def export_bioimageio_model(
     axes = "bcyx" if ndim == 2 else "bczyx"
     preprocessing = _get_preprocessing(trainer)
 
+    from datetime import datetime
+
     rdf = {
         "format_version": "0.4.10",
         "type": "model",
+        # required by the 0.4 model spec (bioimageio.spec rejects rdfs
+        # without it); ISO 8601 like the reference's build_model output
+        "timestamp": datetime.now().isoformat(),
         "name": name or os.path.basename(checkpoint if isinstance(checkpoint, str) else "model"),
         "description": description or "Model exported from tpu-em.",
         "authors": authors or [{"name": "tpu-em"}],
@@ -585,7 +590,33 @@ def export_bioimageio_model(
 
 
 def _validate_model(export_folder: str) -> bool:
-    """Round-trip check: import the package and verify test input -> output."""
+    """Validate an exported package the way the reference's bioimageio.core
+    round-trip does (reference modelzoo.py:602-614): (1) schema-level rdf
+    validation against the vendored 0.4 model spec, (2) import the package
+    and verify test input -> output.
+
+    Packages whose only weight entry is the framework-native ``jax`` format
+    (model families without a torch export) downgrade the spec's
+    "no standard weight format" error to a warning — the package is valid for
+    this framework but not portable to the official tooling.
+    """
+    import warnings
+
+    from .bioimageio_spec import validate_model_rdf
+
+    errors, spec_warnings = validate_model_rdf(export_folder)
+    jax_only = ("no spec-defined weight format" in " ".join(errors))
+    if jax_only:
+        errors = [e for e in errors if "no spec-defined weight format" not in e]
+        spec_warnings.append(
+            "package carries only framework-native 'jax' weights; official "
+            "bioimageio tooling needs add_weight_formats(..., ['pytorch_state_dict'])")
+    for w in spec_warnings:
+        warnings.warn(f"bioimageio spec: {w}")
+    if errors:
+        warnings.warn(f"bioimageio spec validation failed: {errors}")
+        return False
+
     try:
         model, normalizer = import_bioimageio_model(export_folder)
         test_input = np.load(os.path.join(export_folder, "test_input.npy"))
@@ -593,8 +624,6 @@ def _validate_model(export_folder: str) -> bool:
         pred = np.asarray(model(test_input))
         return np.allclose(pred, test_output, atol=1e-4)
     except Exception as e:
-        import warnings
-
         warnings.warn(f"Model validation failed: {e}")
         return False
 
