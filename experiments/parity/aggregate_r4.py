@@ -22,27 +22,39 @@ def _load(path):
 def main():
     summary = {}
 
-    seeds = {}
-    for s in (0, 1, 2):
+    seeds, ref, tpu, gaps = {}, [], [], []
+    for s in range(8):
         tab = _load(f"parity_out3d_r4_s{s}/parity_table3d.json")
-        if tab and "abs_gap" in tab:
-            seeds[f"seed{s}"] = tab
+        if not tab:
+            continue
+        seeds[f"seed{s}"] = tab
+        if "torch_em_tpu" in tab:
+            tpu.append(tab["torch_em_tpu"]["dice_boundary"])
+        if "reference-torch" in tab:
+            ref.append(tab["reference-torch"]["dice_boundary"])
+        if "abs_gap" in tab:
+            gaps.append(tab["torch_em_tpu"]["dice_boundary"]
+                        - tab["reference-torch"]["dice_boundary"])
     if seeds:
-        ref = [t["reference-torch"]["dice_boundary"] for t in seeds.values()]
-        tpu = [t["torch_em_tpu"]["dice_boundary"] for t in seeds.values()]
-        gaps = [t["torch_em_tpu"]["dice_boundary"]
-                - t["reference-torch"]["dice_boundary"] for t in seeds.values()]
         summary["cremi3d_seeds_r4"] = {
             "protocol": "1500 its, torch-matching init (models/unet.py), "
-                        "deterministic central-patch val on both sides",
+                        "deterministic fixed-patch val and identical raw [0,1] "
+                        "inputs on both sides; reference seeds 0-2, TPU seeds "
+                        "0-7 (per-seed outcomes are high-variance draws on BOTH "
+                        "sides — ref seed 2 converges ~65% slower than 0/1 — so "
+                        "the distribution stats are the primary comparison)",
             **seeds,
-            "reference_mean": round(float(np.mean(ref)), 4),
-            "reference_std": round(float(np.std(ref)), 4),
-            "tpu_mean": round(float(np.mean(tpu)), 4),
-            "tpu_std": round(float(np.std(tpu)), 4),
-            "signed_gap_mean_tpu_minus_ref": round(float(np.mean(gaps)), 4),
-            "max_abs_gap": round(float(np.max(np.abs(gaps))), 4),
-            "all_seeds_within_1pct": bool(np.max(np.abs(gaps)) < 0.01),
+            "reference_mean": round(float(np.mean(ref)), 4) if ref else None,
+            "reference_std": round(float(np.std(ref)), 4) if ref else None,
+            "reference_n": len(ref),
+            "tpu_mean": round(float(np.mean(tpu)), 4) if tpu else None,
+            "tpu_std": round(float(np.std(tpu)), 4) if tpu else None,
+            "tpu_n": len(tpu),
+            "mean_gap_tpu_minus_ref": (round(float(np.mean(tpu) - np.mean(ref)), 4)
+                                       if ref and tpu else None),
+            "same_seed_signed_gaps": [round(float(g), 4) for g in gaps],
+            "max_abs_same_seed_gap": (round(float(np.max(np.abs(gaps))), 4)
+                                      if gaps else None),
         }
 
     grad = _load("parity_out3d_s1/grad_parity3d.json")

@@ -1,0 +1,22 @@
+#!/bin/bash
+# Round-4 TPU extras: widen the CREMI-3D seed distribution (seeds 3-7) for
+# the distribution-level parity comparison — round-4 found the reference
+# itself has slow seeds (ref seed 2: 0.067 @1400 vs 0.038 for seeds 0/1), so
+# per-seed gaps between independent draws are noisy; mean/std over a wider
+# TPU sample is the honest comparator. Run AFTER run_r4_tpu.sh.
+set -x
+cd /root/repo/experiments/parity
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+for s in 3 4 5 6 7; do
+  for attempt in 1 2; do
+    [ -f parity_out3d_r4_s$s/tpu_result3d.json ] && break
+    timeout 1800 python train_tpu3d.py -d parity_data3d -o parity_out3d_r4_s$s \
+      -n 1500 --seed $s --fixed-val --resume > tpu3d_r4_s$s.log 2>&1
+  done
+  [ -f parity_out3d_r4_s$s/parity_table3d.json ] || \
+    JAX_PLATFORMS=cpu timeout 600 python evaluate3d.py -d parity_data3d \
+      -o parity_out3d_r4_s$s > eval3d_r4_s$s.log 2>&1
+done
+JAX_PLATFORMS=cpu python aggregate_r4.py > aggregate_r4.log 2>&1
+echo R4 TPU EXTRA SEEDS DONE
