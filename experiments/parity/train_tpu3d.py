@@ -43,6 +43,15 @@ def main():
                              "matches the reference parity script's deterministic "
                              "val protocol, equalizing best-checkpoint selection "
                              "noise between the sides")
+    parser.add_argument("--precomputed-boundaries", action="store_true",
+                        help="train on boundary targets precomputed over the "
+                             "FULL volume (written as a 'boundaries' dataset "
+                             "next to 'labels'), exactly like the reference "
+                             "parity script's precompute-then-crop pipeline — "
+                             "isolates the per-patch label-transform border "
+                             "semantics (patch-edge boundaries to objects "
+                             "outside the crop are invisible to a per-patch "
+                             "transform) as a convergence factor")
     parser.add_argument("--device-transform", action="store_true",
                         help="ship raw labels and compute the boundary target "
                              "inside the jitted step (DeviceBoundaryTransform) — "
@@ -63,10 +72,10 @@ def main():
     # inside the jitted step (the TPU-native mode, ops/device.py)
     # identity raw transform: BOTH parity sides train and evaluate on the raw
     # [0,1] volumes (the hand-rolled reference side feeds f['raw'] patches
-    # directly, and the final dice eval below does the same). The library's
-    # default per-patch standardize would put the TPU side on a different
-    # input distribution than its own eval AND than the reference side —
-    # round-4 forensics measured that mismatch as a ~0.04 dice handicap.
+    # directly, and the final dice eval below does the same). Note this is
+    # protocol hygiene, not a quality lever: the first InstanceNorm makes the
+    # network function exactly invariant to per-patch affine input transforms,
+    # and an A/B (round 4) measured identical trajectories and dice either way.
     identity_raw = lambda x: x  # noqa: E731
     trafo = None if args.device_transform else BoundaryTransform(mode="thick", ndim=3)
     device_trafo = None
@@ -76,8 +85,22 @@ def main():
     train_paths = sorted(glob(os.path.join(args.data, "train", "vol*.h5")))
     val_paths = sorted(glob(os.path.join(args.data, "val", "vol*.h5")))
 
+    label_key = "labels"
+    if args.precomputed_boundaries:
+        # write the full-volume boundary target once per file (idempotent) and
+        # train on crops of it with label_transform=None — the reference
+        # parity script's exact target pipeline
+        full_trafo = BoundaryTransform(mode="thick", ndim=3)
+        for path in train_paths + val_paths:
+            with h5py.File(path, "a") as f:
+                if "boundaries" not in f:
+                    f.create_dataset(
+                        "boundaries",
+                        data=full_trafo(f["labels"][:]).astype("float32")[0])
+        label_key, trafo = "boundaries", None
+
     train_loader = torch_em.default_segmentation_loader(
-        train_paths, "raw", train_paths, "labels", batch_size=args.batch_size,
+        train_paths, "raw", train_paths, label_key, batch_size=args.batch_size,
         patch_shape=PATCH, ndim=3, label_transform=trafo, label_dtype="float32",
         raw_transform=identity_raw, n_samples=50 * args.batch_size,
     )
@@ -86,14 +109,14 @@ def main():
         # script evaluates raw_va[:, :patch] fixed patches, train_ref_torch3d.py)
         val_rois = [tuple(slice(0, p) for p in PATCH)] * len(val_paths)
         val_loader = torch_em.default_segmentation_loader(
-            val_paths, "raw", val_paths, "labels", batch_size=args.batch_size,
+            val_paths, "raw", val_paths, label_key, batch_size=args.batch_size,
             patch_shape=PATCH, ndim=3, label_transform=trafo, label_dtype="float32",
             raw_transform=identity_raw, rois=val_rois,
             transform=lambda raw, labels: (raw, labels),
         )
     else:
         val_loader = torch_em.default_segmentation_loader(
-            val_paths, "raw", val_paths, "labels", batch_size=args.batch_size,
+            val_paths, "raw", val_paths, label_key, batch_size=args.batch_size,
             patch_shape=PATCH, ndim=3, label_transform=trafo, label_dtype="float32",
             raw_transform=identity_raw, n_samples=8,
         )
