@@ -52,6 +52,10 @@ def main():
                              "semantics (patch-edge boundaries to objects "
                              "outside the crop are invisible to a per-patch "
                              "transform) as a convergence factor")
+    parser.add_argument("--ref-augs", action="store_true",
+                        help="restrict train augmentations to H/V flips — the "
+                             "exact set the hand-rolled reference side applies "
+                             "(the library default adds the depth flip)")
     parser.add_argument("--device-transform", action="store_true",
                         help="ship raw labels and compute the boundary target "
                              "inside the jitted step (DeviceBoundaryTransform) — "
@@ -99,10 +103,16 @@ def main():
                         data=full_trafo(f["labels"][:]).astype("float32")[0])
         label_key, trafo = "boundaries", None
 
+    train_kwargs = {}
+    if args.ref_augs:
+        from torch_em_tpu.transforms.augmentation import get_augmentations
+        train_kwargs["transform"] = get_augmentations(
+            ndim="anisotropic",
+            transforms=["RandomHorizontalFlip3D", "RandomVerticalFlip3D"])
     train_loader = torch_em.default_segmentation_loader(
         train_paths, "raw", train_paths, label_key, batch_size=args.batch_size,
         patch_shape=PATCH, ndim=3, label_transform=trafo, label_dtype="float32",
-        raw_transform=identity_raw, n_samples=50 * args.batch_size,
+        raw_transform=identity_raw, n_samples=50 * args.batch_size, **train_kwargs,
     )
     if args.fixed_val:
         # one deterministic central patch per val volume (the reference parity
