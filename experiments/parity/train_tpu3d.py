@@ -52,6 +52,12 @@ def main():
                              "semantics (patch-edge boundaries to objects "
                              "outside the crop are invisible to a per-patch "
                              "transform) as a convergence factor")
+    parser.add_argument("--torch-init", action="store_true",
+                        help="initialize from the EXACT parameter draw the "
+                             "torch reference side gets at this --seed "
+                             "(torch.manual_seed(seed) + reference-module "
+                             "construction, imported via load_torch_unet_state) "
+                             "— the init-vs-training-path cross-implant forensic")
     parser.add_argument("--ref-augs", action="store_true",
                         help="restrict train augmentations to H/V flips — the "
                              "exact set the hand-rolled reference side applies "
@@ -62,6 +68,13 @@ def main():
                              "the TPU-native path; semantics match the host "
                              "BoundaryTransform (tested element-wise)")
     args = parser.parse_args()
+    # persistent XLA compile cache: the sweep re-runs one program many times
+    import jax as _jax
+    try:
+        _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_parity_cache")
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     if args.plain_lowering:
         from torch_em_tpu.models.unet import perf_options
         perf_options(packing=False, pallas_norm=False, phase_packing=False,
@@ -142,6 +155,31 @@ def main():
             in_channels=1, out_channels=1, initial_features=args.features,
             scale_factors=[[1, 2, 2], [2, 2, 2]], final_activation="Sigmoid",
             seed=args.seed)
+    if args.torch_init:
+        import importlib.util
+
+        import torch
+
+        from torch_em_tpu.utils.modelzoo import load_torch_unet_state
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_unet_ti", "/root/reference/torch_em/model/unet.py")
+        ref_unet = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_unet)
+        torch.manual_seed(args.seed)
+        if args.tracked_model:
+            ref_net = ref_unet.AnisotropicUNet(
+                in_channels=1, out_channels=1, initial_features=args.features,
+                scale_factors=[[1, 2, 2], [1, 2, 2], [2, 2, 2], [2, 2, 2]],
+                anisotropic_kernel=True, final_activation="Sigmoid")
+        else:
+            ref_net = ref_unet.AnisotropicUNet(
+                in_channels=1, out_channels=1, initial_features=args.features,
+                scale_factors=[[1, 2, 2], [2, 2, 2]], final_activation="Sigmoid")
+        state = {k: v.detach().numpy() for k, v in ref_net.state_dict().items()}
+        model.replace_variables(load_torch_unet_state(model, state))
+        print(f"torch-init: imported the reference's torch.manual_seed({args.seed}) draw")
+
     trainer = torch_em.default_segmentation_trainer(
         name="parity-cremi-tpu", model=model,
         train_loader=train_loader, val_loader=val_loader,
