@@ -22,28 +22,41 @@ def _load(path):
 def main():
     summary = {}
 
-    seeds, ref, tpu, gaps = {}, [], [], []
-    for s in range(8):
-        tab = _load(f"parity_out3d_r4_s{s}/parity_table3d.json")
-        if not tab:
-            continue
-        seeds[f"seed{s}"] = tab
-        if "torch_em_tpu" in tab:
+    # TPU draws: the pb protocol (full-volume targets — the same target
+    # function the torch side trains on and the dice eval measures against)
+    tpu, tpu_seeds = [], {}
+    for s in range(10):
+        tab = _load(f"parity_out3d_r4pb_s{s}/parity_table3d.json")
+        if tab and "torch_em_tpu" in tab:
+            tpu_seeds[f"seed{s}"] = tab["torch_em_tpu"]["dice_boundary"]
             tpu.append(tab["torch_em_tpu"]["dice_boundary"])
-        if "reference-torch" in tab:
-            ref.append(tab["reference-torch"]["dice_boundary"])
-        if "abs_gap" in tab:
-            gaps.append(tab["torch_em_tpu"]["dice_boundary"]
-                        - tab["reference-torch"]["dice_boundary"])
-    if seeds:
+    # reference draws
+    ref, ref_seeds = [], {}
+    for s in range(10):
+        for pat in (f"parity_out3d_s{s}", f"parity_out3d_ref_s{s}"):
+            tab = _load(f"{pat}/parity_table3d.json")
+            if tab and "reference-torch" in tab and f"seed{s}" not in ref_seeds:
+                ref_seeds[f"seed{s}"] = tab["reference-torch"]["dice_boundary"]
+                ref.append(tab["reference-torch"]["dice_boundary"])
+    # cross-implant draws: the reference's own init values trained on this stack
+    ti_seeds = {}
+    for s in range(3):
+        tab = _load(f"parity_out3d_r4ti_s{s}/parity_table3d.json")
+        if tab and "torch_em_tpu" in tab:
+            ti_seeds[f"seed{s}"] = tab["torch_em_tpu"]["dice_boundary"]
+    if tpu or ref:
         summary["cremi3d_seeds_r4"] = {
-            "protocol": "1500 its, torch-matching init (models/unet.py), "
-                        "deterministic fixed-patch val and identical raw [0,1] "
-                        "inputs on both sides; reference seeds 0-2, TPU seeds "
-                        "0-7 (per-seed outcomes are high-variance draws on BOTH "
-                        "sides — ref seed 2 converges ~65% slower than 0/1 — so "
-                        "the distribution stats are the primary comparison)",
-            **seeds,
+            "protocol": "1500 its, torch-matching init, deterministic "
+                        "fixed-patch val, identical raw [0,1] inputs, and "
+                        "full-volume boundary targets on BOTH sides. Per-seed "
+                        "outcomes are init-basin draws on BOTH sides (ref seed "
+                        "2 converges ~65% slower than its 0/1; outcomes "
+                        "replicate across bf16/fp32 and data orders to ~2%), "
+                        "so seed-index pairings are meaningless — compare the "
+                        "distributions and the cross-implant runs.",
+            "tpu_dice_by_seed": tpu_seeds,
+            "reference_dice_by_seed": ref_seeds,
+            "ref_init_implant_dice_by_seed": ti_seeds,
             "reference_mean": round(float(np.mean(ref)), 4) if ref else None,
             "reference_std": round(float(np.std(ref)), 4) if ref else None,
             "reference_n": len(ref),
@@ -52,9 +65,6 @@ def main():
             "tpu_n": len(tpu),
             "mean_gap_tpu_minus_ref": (round(float(np.mean(tpu) - np.mean(ref)), 4)
                                        if ref and tpu else None),
-            "same_seed_signed_gaps": [round(float(g), 4) for g in gaps],
-            "max_abs_same_seed_gap": (round(float(np.max(np.abs(gaps))), 4)
-                                      if gaps else None),
         }
 
     grad = _load("parity_out3d_s1/grad_parity3d.json")

@@ -8,15 +8,21 @@ set -x
 cd /root/repo/experiments/parity
 export PYTHONPATH=/root/repo:/root/.axon_site
 
+# pb protocol = train on full-volume boundary targets, the same target
+# function the torch side trains on AND the dice eval measures against
+# (round-4 finding: per-patch targets cost a constant ~0.01-0.02 dice against
+# the full-volume-target eval regardless of convergence — target semantics,
+# not quality)
 for s in 3 4 5 6 7; do
   for attempt in 1 2; do
-    [ -f parity_out3d_r4_s$s/tpu_result3d.json ] && break
-    timeout 1800 python train_tpu3d.py -d parity_data3d -o parity_out3d_r4_s$s \
-      -n 1500 --seed $s --fixed-val --resume > tpu3d_r4_s$s.log 2>&1
+    [ -f parity_out3d_r4pb_s$s/tpu_result3d.json ] && break
+    timeout 1800 python train_tpu3d.py -d parity_data3d_pb -o parity_out3d_r4pb_s$s \
+      -n 1500 --seed $s --fixed-val --precomputed-boundaries --resume \
+      > tpu3d_r4pb_s$s.log 2>&1
   done
-  [ -f parity_out3d_r4_s$s/parity_table3d.json ] || \
+  [ -f parity_out3d_r4pb_s$s/parity_table3d.json ] || \
     JAX_PLATFORMS=cpu timeout 600 python evaluate3d.py -d parity_data3d \
-      -o parity_out3d_r4_s$s > eval3d_r4_s$s.log 2>&1
+      -o parity_out3d_r4pb_s$s > eval3d_r4pb_s$s.log 2>&1
 done
 JAX_PLATFORMS=cpu python aggregate_r4.py > aggregate_r4.log 2>&1
 echo R4 TPU EXTRA SEEDS DONE

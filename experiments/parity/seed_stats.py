@@ -15,7 +15,9 @@ CONFIGS = [
     ("r4 bf16 torch-init precomp-targets", "parity_out3d_r4pb_s{s}"),
     ("r4 fp32 torch-init", "parity_out3d_r4fp32_s{s}"),
     ("r4 bf16 torch-init ref-augs", "parity_out3d_r4ra_s{s}"),
+    ("r4 bf16 REF-INIT implant", "parity_out3d_r4ti_s{s}"),
     ("reference torch fp32", "parity_out3d_s{s}"),
+    ("reference torch fp32 (extra)", "parity_out3d_ref_s{s}"),
 ]
 
 
