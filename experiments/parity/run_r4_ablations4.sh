@@ -9,7 +9,7 @@ set -x
 cd /root/repo/experiments/parity
 export PYTHONPATH=/root/repo:/root/.axon_site
 
-for s in 3 4; do
+for s in 0 1 2 3 4; do
   for attempt in 1 2; do
     [ -f parity_out3d_r4tipb_s$s/tpu_result3d.json ] && break
     timeout 1800 python train_tpu3d.py -d parity_data3d_pb -o parity_out3d_r4tipb_s$s \
