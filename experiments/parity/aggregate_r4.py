@@ -44,6 +44,25 @@ def main():
         tab = _load(f"parity_out3d_r4ti_s{s}/parity_table3d.json")
         if tab and "torch_em_tpu" in tab:
             ti_seeds[f"seed{s}"] = tab["torch_em_tpu"]["dice_boundary"]
+    # same-init PAIRS on the aligned pb protocol: the strongest statement —
+    # identical init values, identical target function, dice side by side
+    pairs = {}
+    for s in range(5):
+        tab = _load(f"parity_out3d_r4tipb_s{s}/parity_table3d.json")
+        if not (tab and "torch_em_tpu" in tab):
+            continue
+        r = ref_seeds.get(f"seed{s}")
+        pairs[f"seed{s}"] = {
+            "reference": r, "tpu_same_init": tab["torch_em_tpu"]["dice_boundary"],
+            "gap": None if r is None else round(tab["torch_em_tpu"]["dice_boundary"] - r, 4),
+        }
+    if pairs:
+        summary["cremi3d_same_init_pairs"] = {
+            "note": "torch.manual_seed(s) init implanted into the TPU stack "
+                    "(verified to 3e-6), both sides trained on full-volume "
+                    "targets — removes the init-draw lottery entirely",
+            **pairs,
+        }
     if tpu or ref:
         summary["cremi3d_seeds_r4"] = {
             "protocol": "1500 its, torch-matching init, deterministic "
