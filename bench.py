@@ -115,6 +115,34 @@ def main():
     jax.block_until_ready(loss)
     dt_dispatch = (time.perf_counter() - t0) / n_steps
 
+    # PHASE_WPAD A/B: the tracked patch (32, 256, 256) yields odd shifted-W
+    # phase grids (129), which the round-3 trace showed forces a relayout
+    # copy around each phase conv. PHASE_WPAD pads the shifted grid's W to a
+    # sublane multiple with dead zero columns (exactness-verified in
+    # tests/test_unet.py::TestPhaseWpad). Time both lowerings here and run
+    # the headline scan metric with the faster one; both times land in the
+    # JSON so the choice is auditable. BENCH_PHASE_WPAD=0/1 forces a side.
+    from torch_em_tpu.models.unet import perf_options
+
+    wpad_mode = os.environ.get("BENCH_PHASE_WPAD", "auto")
+    use_wpad = wpad_mode == "1"
+    dt_dispatch_wpad = None
+    if wpad_mode == "auto":
+        try:
+            with perf_options(phase_wpad=True):
+                step_w = jax.jit(train_step, donate_argnums=(0, 1))
+                for _ in range(n_warmup):
+                    variables, opt_state, loss = step_w(variables, opt_state, x, y)
+                jax.block_until_ready(loss)
+                t0 = time.perf_counter()
+                for _ in range(n_steps):
+                    variables, opt_state, loss = step_w(variables, opt_state, x, y)
+                jax.block_until_ready(loss)
+            dt_dispatch_wpad = (time.perf_counter() - t0) / n_steps
+            use_wpad = dt_dispatch_wpad < dt_dispatch
+        except Exception:
+            use_wpad = False
+
     # headline: multi-step execution (trainer steps_per_execution feature) —
     # k staged batches consumed by ONE jitted lax.scan dispatch, eliminating
     # the per-step host dispatch gap through the device tunnel
@@ -136,8 +164,11 @@ def main():
         rng.random((scan_k, batch_size, 1) + patch, dtype=np.float32), device)
     ys = jax.device_put(
         (rng.random((scan_k, batch_size, 1) + patch) > 0.5).astype(np.float32), device)
-    variables, opt_state, losses = scan_step(variables, opt_state, xs, ys)
-    jax.block_until_ready(losses)  # compile + warmup
+    # the perf flags are read at trace time, so the context must cover the
+    # compiling first call; the timed calls below reuse the executable
+    with perf_options(phase_wpad=use_wpad):
+        variables, opt_state, losses = scan_step(variables, opt_state, xs, ys)
+        jax.block_until_ready(losses)  # compile + warmup
     n_scan_calls = 2
     t0 = time.perf_counter()
     for _ in range(n_scan_calls):
@@ -305,6 +336,9 @@ def main():
             "s_per_iter": round(dt, 4),
             "steps_per_execution": scan_k,
             "s_per_iter_single_dispatch": round(dt_dispatch, 4),
+            "s_per_iter_single_dispatch_phase_wpad":
+            None if dt_dispatch_wpad is None else round(dt_dispatch_wpad, 4),
+            "phase_wpad_used": bool(use_wpad),
             "mfu_vs_v5e_peak": None if mfu is None else round(float(mfu), 4),
             "patches_per_sec_with_loader": None if loader_patches_per_sec is None
             else round(float(loader_patches_per_sec), 4),

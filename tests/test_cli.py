@@ -8,6 +8,9 @@ import h5py
 import numpy as np
 import pytest
 
+# real training loops / multi-minute compiles: full tier only
+pytestmark = pytest.mark.slow
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

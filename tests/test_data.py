@@ -171,6 +171,7 @@ class TestMultiKeyChannels:
         assert np.asarray(y).shape == (1, 32, 32)
 
 
+@pytest.mark.slow
 class TestProcessWorkers:
     """Process-based loader workers (SURVEY hard part #2): spawn pool,
     dataset pickled once per worker, handles reopened in the child."""

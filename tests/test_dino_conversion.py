@@ -13,6 +13,9 @@ a real checkpoint does.
 import numpy as np
 import pytest
 
+# real training loops / multi-minute compiles: full tier only
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 import jax  # noqa: E402

@@ -16,6 +16,9 @@ import math
 import numpy as np
 import pytest
 
+# real training loops / multi-minute compiles: full tier only
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 import torch.nn.functional as F  # noqa: E402

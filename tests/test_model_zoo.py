@@ -1,6 +1,9 @@
 import numpy as np
 import pytest
 
+# real training loops / multi-minute compiles: full tier only
+pytestmark = pytest.mark.slow
+
 
 class TestResNet3d:
     def test_basic(self):

@@ -2,6 +2,9 @@ import jax
 import numpy as np
 import pytest
 
+# real training loops / multi-minute compiles: full tier only
+pytestmark = pytest.mark.slow
+
 from torch_em_tpu.models import UNet2d, UNet3d
 from torch_em_tpu.utils.prediction import Blocking, predict_with_halo, predict_with_padding
 

@@ -4,6 +4,9 @@ import h5py
 import numpy as np
 import pytest
 
+# real training loops / multi-minute compiles: full tier only
+pytestmark = pytest.mark.slow
+
 import torch_em_tpu.data as ted
 from torch_em_tpu.loss import ContrastiveLoss, DiceLoss, SPOCOLoss
 from torch_em_tpu.models import UNet2d

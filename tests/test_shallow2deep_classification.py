@@ -4,6 +4,9 @@ import h5py
 import numpy as np
 import pytest
 
+# real training loops / multi-minute compiles: full tier only
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def s2d_data(tmp_path, monkeypatch):

@@ -21,6 +21,7 @@ def _load_ref_unet():
     return mod
 
 
+@pytest.mark.slow
 class TestTorchExport:
     def test_unet2d_state_dict_roundtrip(self):
         from torch_em_tpu.models import UNet2d

@@ -5,6 +5,9 @@ import h5py
 import numpy as np
 import pytest
 
+# real training loops / multi-minute compiles: full tier only
+pytestmark = pytest.mark.slow
+
 import torch_em_tpu as te
 from torch_em_tpu.models import UNet2d
 from torch_em_tpu.trainer import DefaultTrainer

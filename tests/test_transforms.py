@@ -236,6 +236,7 @@ class TestElasticParity:
         assert (wl[outside] == 0).mean() > 0.98
 
 
+@pytest.mark.slow
 class TestDeviceLabelTransforms:
     """Device-side batched label transforms match the host transforms
     element-wise (ops/device.py vs transforms/label.py)."""

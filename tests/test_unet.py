@@ -73,6 +73,7 @@ class TestAnisotropicUNet:
             model(np.random.rand(1, 1, 3, 32, 32).astype("float32"))
 
 
+@pytest.mark.slow
 class TestPackedExecution:
     """The width-packed TPU lowering must be numerically equivalent to the
     plain execution (models/unet.py W4_PACKING and the packed pool/norm)."""
@@ -177,6 +178,61 @@ class TestPackedExecution:
 def float_sum(t):
     import jax.numpy as jnp
     return jnp.sum(jnp.sin(t))
+
+
+@pytest.mark.slow
+class TestPhaseWpad:
+    """PHASE_WPAD (dead-column W padding of the shifted grid, keeping the
+    8-sublane tiling) must be exactly equivalent to the unpadded phase
+    lowering — forward and gradients, fold and non-fold norm branches."""
+
+    def _block_case(self, norm_fold):
+        import jax
+        import jax.numpy as jnp
+        from torch_em_tpu.models import unet as um
+
+        rs = np.random.RandomState(3)
+        # W=66 -> Wb=33 -> shifted W=34 -> e=6 (a real dead-column case)
+        x = jnp.asarray(rs.rand(1, 64, 66, 8), jnp.float32)
+        blk = um.ConvBlock(32, dim=2, norm="InstanceNorm")
+        with um.perf_options(phase_wpad=False, norm_fold=norm_fold):
+            v = blk.init(jax.random.PRNGKey(0), x)
+            y_ref = blk.apply(v, x)
+            g_ref = jax.grad(lambda p: float_sum(jnp.tanh(blk.apply({"params": p["params"]}, x))))(v)
+        with um.perf_options(phase_wpad=True, norm_fold=norm_fold):
+            y_pad = blk.apply(v, x)
+            g_pad = jax.grad(lambda p: float_sum(jnp.tanh(blk.apply({"params": p["params"]}, x))))(v)
+        assert y_ref.shape == y_pad.shape
+        assert float(jnp.max(jnp.abs(y_ref - y_pad))) < 1e-5
+        # the padded lowering reassociates the f32 conv reductions (different
+        # tiling), so gradients of magnitude O(50) differ by O(1e-4); a logic
+        # bug in the dead-column handling shows as O(0.1+) errors
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pad)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3)
+
+    def test_block_equivalence_fold(self):
+        self._block_case(norm_fold=True)
+
+    def test_block_equivalence_nofold(self):
+        self._block_case(norm_fold=False)
+
+    def test_unet_equivalence(self):
+        import jax
+        import jax.numpy as jnp
+        from torch_em_tpu.models import UNet2d
+        from torch_em_tpu.models import unet as um
+
+        x = np.random.RandomState(4).rand(1, 1, 128, 136).astype("float32")
+        with um.perf_options(phase_wpad=False):
+            m = UNet2d(in_channels=1, out_channels=1, depth=2, initial_features=32,
+                       final_activation="Sigmoid", seed=0)
+            y_ref = np.asarray(m(x))
+        with um.perf_options(phase_wpad=True):
+            m2 = UNet2d(in_channels=1, out_channels=1, depth=2, initial_features=32,
+                        final_activation="Sigmoid", seed=0)
+            m2.replace_variables(m.variables)
+            y_pad = np.asarray(m2(x))
+        np.testing.assert_allclose(y_pad, y_ref, atol=2e-5)
 
 
 class TestPerfOptions:
@@ -305,6 +361,7 @@ class TestInstanceNormTrackStats:
             np.testing.assert_allclose(np.asarray(ys), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 class TestPhaseExecution:
     """The 2x2 shifted-phase lowering (models/unet.py PHASE_PACKING: p=4
     levels run as phase-alternating 2x2 convs at 1.78x nominal executed
@@ -415,6 +472,7 @@ class TestPhaseExecution:
         np.testing.assert_allclose(back, want, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestNormFold:
     """Norm-fold execution (NORM_FOLD): folding the single-group
     parameter-free InstanceNorm into the following conv's weights plus a

@@ -300,6 +300,17 @@ PHASE_PACKING = True
 # weight-sized contractions flowing through the conv's weight gradient.
 NORM_FOLD = True
 
+# Dead-column W padding for the SHIFTED phase grid: the shifted tensors are
+# (Hb+1, Wb+1) and the odd W extent breaks the (8-sublane x 128-lane) tiling,
+# forcing relayout copies around each phase conv (round-3 trace finding).
+# With wpad the to_shifted conv emits extra zero columns so the shifted W is
+# the next multiple of 8 (conv pad (1, 1+e)), and the to_aligned conv trims
+# them with negative padding (0, -e) — layouts stay tile-aligned end to end.
+# H stays odd (not a tiled dimension). Exactness is kept by the masks and a
+# count-scale that excludes the dead columns. Off by default until the bench
+# confirms the win (perf_options(phase_wpad=True)).
+PHASE_WPAD = False
+
 
 class perf_options:
     """Config surface for the UNet perf switches (width packing, Pallas norm,
@@ -319,17 +330,19 @@ class perf_options:
     _FLAGS = {"packing": "W4_PACKING", "pallas_norm": "PALLAS_NORM",
               "norm_fold": "NORM_FOLD",
               "packed_conv_mode": "PACKED_CONV_MODE",
-              "phase_packing": "PHASE_PACKING"}
+              "phase_packing": "PHASE_PACKING",
+              "phase_wpad": "PHASE_WPAD"}
 
     def __init__(self, packing=None, pallas_norm=None, packed_conv_mode=None,
-                 phase_packing=None, norm_fold=None):
+                 phase_packing=None, norm_fold=None, phase_wpad=None):
         g = globals()
         self._saved = {}
         for arg, name in self._FLAGS.items():
             value = {"packing": packing, "pallas_norm": pallas_norm,
                      "packed_conv_mode": packed_conv_mode,
                      "phase_packing": phase_packing,
-                     "norm_fold": norm_fold}[arg]
+                     "norm_fold": norm_fold,
+                     "phase_wpad": phase_wpad}[arg]
             if value is not None:
                 self._saved[name] = g[name]
                 g[name] = value
@@ -439,15 +452,18 @@ def _phase_kernel(w):
     return wp.reshape(2, 2, 4 * ci, 4 * co)
 
 
-def _conv_phase_apply(x, wp, to_shifted):
-    pad = [(1, 1), (1, 1)] if to_shifted else [(0, 0), (0, 0)]
+def _conv_phase_apply(x, wp, to_shifted, e=0):
+    """``e`` = dead-column padding of the SHIFTED grid along W (PHASE_WPAD):
+    to_shifted emits e extra zero columns (pad (1, 1+e)); to_aligned trims
+    them with negative padding (0, -e) — both fused into the conv op."""
+    pad = [(1, 1), (1, 1 + e)] if to_shifted else [(0, 0), (0, -e)]
     return jax.lax.conv_general_dilated(
         x, wp, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _conv_phase_p(x, wp, to_shifted):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv_phase_p(x, wp, to_shifted, e=0):
     """Phase-transition 2x2 conv on the (already expanded) phase kernel,
     with a hand-written VJP: the default transpose lowers the weight
     gradient with the SHIFTED (Hb+1)^2 cotangent in the kernel role, which
@@ -456,25 +472,28 @@ def _conv_phase_p(x, wp, to_shifted):
     opposite-direction phase conv (spatially flipped, io-transposed kernel)
     and the weight gradient always puts the larger (Hb+1)^2 operand in the
     image role with VALID padding, so no large reversal exists."""
-    return _conv_phase_apply(x, wp, to_shifted)
+    return _conv_phase_apply(x, wp, to_shifted, e)
 
 
-def _conv_phase_p_fwd(x, wp, to_shifted):
-    return _conv_phase_apply(x, wp, to_shifted), (x, wp)
+def _conv_phase_p_fwd(x, wp, to_shifted, e=0):
+    return _conv_phase_apply(x, wp, to_shifted, e), (x, wp)
 
 
-def _conv_phase_p_bwd(to_shifted, res, g):
+def _conv_phase_p_bwd(to_shifted, e, res, g):
     x, wp = res
     gx = _conv_phase_apply(
-        g, jnp.flip(wp, (0, 1)).transpose(0, 1, 3, 2), not to_shifted)
+        g, jnp.flip(wp, (0, 1)).transpose(0, 1, 3, 2), not to_shifted, e)
     # (A four-sliced-dot_general weight grad — one tall-skinny contraction
     # per 2x2 tap — measured 6.7 ms/step SLOWER than these conv forms.)
+    # With wpad, the dead-column windows of the VALID weight-grad conv are
+    # trimmed by the same negative padding; dead-column cotangents are zero
+    # (masked upstream), so the kept windows carry the exact sums.
     if to_shifted:
         # dwp[u,v,i,o] = sum_{n,a,b} g[n,a,b,o] x[n,a+u-1,b+v-1,i]:
         # image = g (shifted grid), kernel = x, VALID; the length-2 output
         # window comes out u-reversed (dwp[u] reads g[k+1-u]).
         out = jax.lax.conv_general_dilated(
-            g, x, (1, 1), [(0, 0), (0, 0)],
+            g, x, (1, 1), [(0, 0), (0, -e)],
             dimension_numbers=("CHWN", "IHWO", "NHWC"),
             preferred_element_type=jnp.float32)          # (4Co, 2, 2, 4Ci)
         gw = jnp.flip(out, (1, 2)).transpose(1, 2, 3, 0)
@@ -482,7 +501,7 @@ def _conv_phase_p_bwd(to_shifted, res, g):
         # dwp[u,v,i,o] = sum_{n,a,b} x[n,a+u,b+v,i] g[n,a,b,o]:
         # image = x (shifted grid), kernel = g, VALID, direct orientation.
         out = jax.lax.conv_general_dilated(
-            x, g, (1, 1), [(0, 0), (0, 0)],
+            x, g, (1, 1), [(0, 0), (0, -e)],
             dimension_numbers=("CHWN", "IHWO", "NHWC"),
             preferred_element_type=jnp.float32)          # (4Ci, 2, 2, 4Co)
         gw = out.transpose(1, 2, 0, 3)
@@ -492,33 +511,38 @@ def _conv_phase_p_bwd(to_shifted, res, g):
 _conv_phase_p.defvjp(_conv_phase_p_fwd, _conv_phase_p_bwd)
 
 
-def _conv_phase(x, kernel, to_shifted):
+def _conv_phase(x, kernel, to_shifted, e=0):
     """3x3/pad-1 conv as a phase-transition 2x2 conv. ``to_shifted`` consumes
-    an ALIGNED tensor (Hb, Wb) and produces the SHIFTED grid (Hb+1, Wb+1);
-    otherwise the inverse."""
+    an ALIGNED tensor (Hb, Wb) and produces the SHIFTED grid
+    (Hb+1, Wb+1+e); otherwise the inverse."""
     wp = _phase_kernel(kernel)
-    return _conv_phase_p(x, wp, to_shifted)
+    return _conv_phase_p(x, wp, to_shifted, e)
 
 
-def _mask_shifted(x, c):
+def _mask_shifted(x, c, e=0):
     """Zero the out-of-image positions of a SHIFTED phase tensor (pixel row
     -1 = block 0 phase a'=0, pixel row H = last block phase a'=1; same along
     W). Required for exactness: the next conv's taps beyond the image border
     must read zero (the reference's zero padding), not the extrapolated
-    values the previous conv computed there.
+    values the previous conv computed there. ``e`` = PHASE_WPAD dead columns
+    at the high end of W (zeroed entirely; the real W border sits at
+    sw-1-e).
 
     Implemented as multiplies with constant-folded broadcast masks — they
     fuse into the neighboring elementwise ops, unlike edge
     dynamic-update-slices (which copy)."""
     sh, sw = x.shape[1], x.shape[2]
+    last_w = sw - 1 - e
     mh = np.ones((sh, 1, 4 * c), np.float32)
     mh[0, :, :2 * c] = 0.0
     mh[-1, :, 2 * c:] = 0.0
     mw = np.ones((sw, 4 * c), np.float32)
     mw[0, :c] = 0.0
     mw[0, 2 * c:3 * c] = 0.0
-    mw[-1, c:2 * c] = 0.0
-    mw[-1, 3 * c:] = 0.0
+    mw[last_w, c:2 * c] = 0.0
+    mw[last_w, 3 * c:] = 0.0
+    if e:
+        mw[last_w + 1:] = 0.0
     return x * jnp.asarray(mh, x.dtype) * jnp.asarray(mw, x.dtype)
 
 
@@ -571,6 +595,7 @@ class _ConvPhase(nn.Module):
     to_shifted: bool
     kernel_size: Tuple[int, ...] = (3, 3)
     dtype: Any = jnp.float32
+    wpad: int = 0  # PHASE_WPAD dead columns of the shifted grid
 
     @nn.compact
     def __call__(self, x, fold=None):
@@ -601,13 +626,15 @@ class _ConvPhase(nn.Module):
                 t_total = tt if t_total is None else t_total + tt
                 k = k * scale[:, None]
             k = k.astype(self.dtype)
-            yi = _conv_phase(p.astype(self.dtype), k, self.to_shifted)
+            yi = _conv_phase(p.astype(self.dtype), k, self.to_shifted, self.wpad)
             y = yi if y is None else y + yi
         b = jnp.tile(bias, 4)
         y = _bias_add(y, b.astype(self.dtype))
         if t_total is not None:
             y = _fold_bias_apply(
-                y, t_total, _fold_specs_phase(y, self.to_shifted, self.features), 4)
+                y, t_total,
+                _fold_specs_phase(y, self.to_shifted, self.features,
+                                  self.wpad if self.to_shifted else 0), 4)
         return y
 
 
@@ -728,11 +755,14 @@ def _fold_onehot(n, i):
     return v
 
 
-def _fold_specs_phase(y, to_shifted, c):
+def _fold_specs_phase(y, to_shifted, c, e=0):
     """Border specs (see _fold_bias_apply) for a phase-layout conv output:
     channel group (a*2 + b)*C holds row-phase a / col-phase b. ALIGNED grids
     put pixel row 0 at (block 0, a=0); SHIFTED grids at (block 0, a'=1)
-    (pixel rows are ``2I - 1 + a'``); mirrored on the high side and along W."""
+    (pixel rows are ``2I - 1 + a'``); mirrored on the high side and along W.
+    ``e`` (PHASE_WPAD dead columns) moves the shifted grid's real high-W
+    border to sw-1-e; the dead columns themselves are masked out downstream,
+    so their (wrong) bias values never survive."""
     def gm(groups):
         v = np.zeros(4 * c, np.float32)
         for g in groups:
@@ -742,7 +772,7 @@ def _fold_specs_phase(y, to_shifted, c):
     sh, sw = y.shape[1], y.shape[2]
     if to_shifted:
         row = (1, (_fold_onehot(sh, 0), gm((2, 3))), (_fold_onehot(sh, sh - 1), gm((0, 1))))
-        col = (2, (_fold_onehot(sw, 0), gm((1, 3))), (_fold_onehot(sw, sw - 1), gm((0, 2))))
+        col = (2, (_fold_onehot(sw, 0), gm((1, 3))), (_fold_onehot(sw, sw - 1 - e), gm((0, 2))))
     else:
         row = (1, (_fold_onehot(sh, 0), gm((0, 1))), (_fold_onehot(sh, sh - 1), gm((2, 3))))
         col = (2, (_fold_onehot(sw, 0), gm((0, 2))), (_fold_onehot(sw, sw - 1), gm((1, 3))))
@@ -1428,6 +1458,9 @@ class ConvBlock(nn.Module):
         parts = tuple(p if _is_phase(q) else _s2d_phase(_unpack_w(p, q))
                       for p, q in zip(parts, packs))
         c_out = self.out_channels
+        # PHASE_WPAD: pad the shifted grid's W to a multiple of 8 with dead
+        # zero columns so it keeps the (8-sublane) tiling of the aligned grid
+        e = (-(parts[0].shape[2] + 1)) % 8 if PHASE_WPAD else 0
         fold = self._fold_ok(parts)
         folds0 = None
         if self.norm == "InstanceNorm":
@@ -1438,15 +1471,15 @@ class ConvBlock(nn.Module):
                               for p in parts)
         ks, _ = _conv_padding(self.kernel_size, self.padding, self.dim)
         x = _ConvPhase(c_out, to_shifted=True, kernel_size=tuple(ks),
-                       dtype=self.dtype, name="conv0")(parts, fold=folds0)
-        x = _mask_shifted(x, c_out)
+                       dtype=self.dtype, wpad=e, name="conv0")(parts, fold=folds0)
+        x = _mask_shifted(x, c_out, e)
         x = _relu_o(x)
         folds1 = None
         if self.norm == "InstanceNorm":
             # exact statistics over the real pixels: zeroed out-of-image
             # slots keep the sums intact, count_scale fixes the divisor
             sh, sw = x.shape[1], x.shape[2]
-            cs = (sh * sw) / float((sh - 1) * (sw - 1))
+            cs = (sh * sw) / float((sh - 1) * (sw - 1 - e))
             if fold:
                 # folded conv1 consumes the un-normalized x whose dead slots
                 # are already zero — the virtual zero padding stays exact
@@ -1455,9 +1488,9 @@ class ConvBlock(nn.Module):
             else:
                 x = _instance_norm_packed(x, 4, stat_groups=self.stat_groups,
                                           count_scale=cs)
-                x = _mask_shifted(x, c_out)
+                x = _mask_shifted(x, c_out, e)
         x = _ConvPhase(c_out, to_shifted=False, kernel_size=tuple(ks),
-                       dtype=self.dtype, name="conv1")(x, fold=folds1)
+                       dtype=self.dtype, wpad=e, name="conv1")(x, fold=folds1)
         x = _relu_o(x)
         if keep_packed:
             return x, PHASE
