@@ -899,3 +899,227 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (2, 3, 32, 32)  # H&E RGB channels-first
         assert y.shape[-2:] == (32, 32)
+
+    def test_cellpose_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.cellpose import get_cellpose_loader
+
+        rng = np.random.default_rng(20)
+        data_dir = tmp_path / "cyto" / "train"
+        data_dir.mkdir(parents=True)
+        for i in range(3):
+            img = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            Image.fromarray(img).save(data_dir / f"{i:03d}_img.png")
+            masks = rng.integers(0, 4, (64, 64)).astype("int32")
+            Image.fromarray(masks, mode="I").save(data_dir / f"{i:03d}_masks.png")
+
+        loader = get_cellpose_loader(str(tmp_path), split="train", patch_shape=(32, 32),
+                                     batch_size=1, choice="cyto")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_nuc_mm_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.nuc_mm import get_nuc_mm_loader
+
+        rng = np.random.default_rng(21)
+        split_dir = tmp_path / "mouse" / "train"
+        split_dir.mkdir(parents=True)
+        with h5py.File(split_dir / "vol0.h5", "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("labels", data=rng.integers(0, 4, (8, 64, 64)).astype("uint64"))
+
+        loader = get_nuc_mm_loader(str(tmp_path), "mouse", "train", patch_shape=(4, 32, 32),
+                                   batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_sponge_em_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.sponge_em import get_sponge_em_loader
+
+        rng = np.random.default_rng(22)
+        # the download gate requires exactly three volumes
+        for i in (1, 2, 3):
+            with h5py.File(tmp_path / f"train_data_0{i}.h5", "w") as f:
+                f.create_dataset("volumes/raw",
+                                 data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+                f.create_dataset("volumes/labels/instances",
+                                 data=rng.integers(0, 4, (8, 64, 64)).astype("uint64"))
+                f.create_dataset("volumes/labels/semantic",
+                                 data=rng.integers(0, 3, (8, 64, 64)).astype("uint64"))
+
+        loader = get_sponge_em_loader(str(tmp_path), "instances", patch_shape=(4, 32, 32),
+                                      batch_size=1, sample_ids=(1, 2))
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+
+    def test_glas_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.histopathology.glas import get_glas_loader
+
+        rng = np.random.default_rng(23)
+        split_dir = tmp_path / "train"
+        split_dir.mkdir()
+        for i in range(2):
+            with h5py.File(split_dir / f"train_{i}.h5", "w") as f:
+                f.create_dataset("raw", data=(rng.random((3, 64, 64)) * 255).astype("uint8"))
+                f.create_dataset("labels", data=rng.integers(0, 4, (64, 64)).astype("uint32"))
+
+        loader = get_glas_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                 split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 32, 32)  # H&E RGB channels-first
+        assert y.shape[-2:] == (32, 32)
+
+    def test_cpm_layout(self, tmp_path):
+        from PIL import Image
+        from scipy.io import savemat
+
+        from torch_em_tpu.data.datasets.histopathology.cpm import get_cpm_loader
+
+        rng = np.random.default_rng(24)
+        img_dir = tmp_path / "cpm17" / "train" / "Images"
+        lab_dir = tmp_path / "cpm17" / "train" / "Labels"
+        img_dir.mkdir(parents=True)
+        lab_dir.mkdir(parents=True)
+        for i in range(2):
+            img = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            Image.fromarray(img).save(img_dir / f"image_{i:02d}.png")
+            savemat(str(lab_dir / f"image_{i:02d}.mat"),
+                    {"inst_map": rng.integers(0, 4, (64, 64)).astype("int32")})
+
+        # exercises the mat -> tif instance-label conversion
+        loader = get_cpm_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                data_choice="cpm17", split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_tnbc_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.histopathology.tnbc import get_tnbc_loader
+
+        rng = np.random.default_rng(25)
+        data_dir = tmp_path / "preprocessed"
+        data_dir.mkdir()
+        for i in range(6):
+            with h5py.File(data_dir / f"GT_{i:02d}.h5", "w") as f:
+                f.create_dataset("raw", data=(rng.random((3, 64, 64)) * 255).astype("uint8"))
+                f.create_dataset("labels/instances",
+                                 data=rng.integers(0, 4, (64, 64)).astype("uint32"))
+                f.create_dataset("labels/semantic",
+                                 data=rng.integers(0, 2, (64, 64)).astype("uint32"))
+
+        # creates the persistent random split csv on first use
+        loader = get_tnbc_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                 split="train", label_choice="instances")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 32, 32)
+        assert (tmp_path / "tnbc_split.csv").exists()
+
+    def test_cryonuseg_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.histopathology.cryonuseg import get_cryonuseg_loader
+
+        rng = np.random.default_rng(26)
+        img_dir = tmp_path / "tissue images"
+        lab_dir = tmp_path / "Annotator 1 (biologist)" / "label masks modify"
+        img_dir.mkdir()
+        lab_dir.mkdir(parents=True)
+        for i in range(6):
+            img = (rng.random((64, 64)) * 255).astype("uint8")
+            Image.fromarray(img).save(img_dir / f"img_{i:02d}.tif")
+            lab = rng.integers(0, 4, (64, 64)).astype("int32")
+            Image.fromarray(lab, mode="I").save(lab_dir / f"img_{i:02d}.tif")
+
+        loader = get_cryonuseg_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                      split="train", rater="b1")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_drive_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.drive import get_drive_loader
+
+        rng = np.random.default_rng(27)
+        img_dir = tmp_path / "training" / "images"
+        man_dir = tmp_path / "training" / "1st_manual"
+        img_dir.mkdir(parents=True)
+        man_dir.mkdir()
+        for i in range(2):
+            img = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            Image.fromarray(img).save(img_dir / f"{21 + i}_training.tif")
+            gt = (rng.random((64, 64)) > 0.5).astype("uint8") * 255
+            Image.fromarray(gt).save(man_dir / f"{21 + i}_manual1.gif")
+
+        # exercises the gif -> binary-tif ground-truth conversion
+        loader = get_drive_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                  split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_montgomery_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.montgomery import get_montgomery_loader
+
+        rng = np.random.default_rng(28)
+        data_dir = tmp_path / "MontgomerySet"
+        img_dir = data_dir / "CXR_png"
+        left_dir = data_dir / "ManualMask" / "leftMask"
+        right_dir = data_dir / "ManualMask" / "rightMask"
+        for d in (img_dir, left_dir, right_dir):
+            d.mkdir(parents=True)
+        for i in range(2):
+            name = f"MCUCXR_{i:04d}_0.png"
+            img = (rng.random((64, 64)) * 255).astype("uint8")
+            Image.fromarray(img).save(img_dir / name)
+            left = np.zeros((64, 64), "uint8")
+            left[:, :32] = 1
+            right = np.zeros((64, 64), "uint8")
+            right[:, 32:] = 1
+            Image.fromarray(left).save(left_dir / name)
+            Image.fromarray(right).save(right_dir / name)
+
+        # exercises the left+right lung-mask merge and the resize trafo
+        loader = get_montgomery_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_ctc_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.ctc import (
+            get_ctc_segmentation_loader,
+        )
+
+        rng = np.random.default_rng(29)
+        vol_dir = tmp_path / "train" / "DIC-C2DH-HeLa" / "01"
+        seg_dir = tmp_path / "train" / "DIC-C2DH-HeLa" / "01_GT" / "SEG"
+        vol_dir.mkdir(parents=True)
+        seg_dir.mkdir(parents=True)
+        for i in range(2):
+            img = (rng.random((64, 64)) * 255).astype("uint8")
+            Image.fromarray(img).save(vol_dir / f"t{i:03d}.tif")
+            seg = rng.integers(0, 4, (64, 64)).astype("int32")
+            Image.fromarray(seg, mode="I").save(seg_dir / f"man_seg{i:03d}.tif")
+
+        loader = get_ctc_segmentation_loader(str(tmp_path), "DIC-C2DH-HeLa",
+                                             patch_shape=(32, 32), batch_size=1,
+                                             split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
