@@ -107,8 +107,10 @@ def main():
     tracked_dsb = _load("parity_out_tracked/tpu_result.json")
     if tracked_dsb:
         summary["dsb_tracked_tpu"] = {
-            "config": "UNet2d f=64, fg+boundary, patch (1,256,256), bs8, "
-                      "3000 its (reference README.md:28-70 tracked config)",
+            "config": "UNet2d f=64, fg+boundary, patch (1,256,256), bs8 "
+                      "(reference README.md:28-70 tracked config; recipe "
+                      "length 3000 its, actual length in 'iterations' - "
+                      "the f=64 model converges well before the recipe end)",
             **tracked_dsb,
         }
         eval_tab = _load("parity_out_tracked/parity_table.json")
