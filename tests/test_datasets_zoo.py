@@ -1123,3 +1123,122 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 32, 32)
         assert y.shape[-2:] == (32, 32)
+
+    def test_busi_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.busi import get_busi_loader
+
+        rng = np.random.default_rng(30)
+        cat_dir = tmp_path / "Dataset_BUSI_with_GT" / "benign"
+        cat_dir.mkdir(parents=True)
+        for i in (1, 2):
+            img = (rng.random((64, 64)) * 255).astype("uint8")
+            Image.fromarray(img).save(cat_dir / f"benign ({i}).png")
+            mask = (rng.random((64, 64)) > 0.5).astype("uint8") * 255
+            Image.fromarray(mask).save(cat_dir / f"benign ({i})_mask.png")
+
+        loader = get_busi_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                 category="benign")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_isic_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.isic import get_isic_loader
+
+        rng = np.random.default_rng(31)
+        img_dir = tmp_path / "ISIC2018_Task1-2_Training_Input"
+        gt_dir = tmp_path / "ISIC2018_Task1_Training_GroundTruth"
+        img_dir.mkdir()
+        gt_dir.mkdir()
+        for i in range(2):
+            img = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            Image.fromarray(img).save(img_dir / f"ISIC_{i:07d}.jpg")
+            gt = (rng.random((64, 64)) > 0.5).astype("uint8") * 255
+            Image.fromarray(gt).save(gt_dir / f"ISIC_{i:07d}_segmentation.png")
+
+        # resize_inputs=True default exercises the resize trafo on RGB input
+        loader = get_isic_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                 split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_nuclick_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.histopathology.nuclick import get_nuclick_loader
+
+        rng = np.random.default_rng(32)
+        img_dir = tmp_path / "IHC_nuclick" / "IHC" / "images" / "Train"
+        mask_dir = tmp_path / "IHC_nuclick" / "IHC" / "masks" / "Train"
+        img_dir.mkdir(parents=True)
+        mask_dir.mkdir(parents=True)
+        for i in range(2):
+            img = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            Image.fromarray(img).save(img_dir / f"img_{i}.png")
+            np.save(mask_dir / f"img_{i}.npy", rng.integers(0, 4, (64, 64)))
+
+        # exercises the npy -> tif label conversion
+        loader = get_nuclick_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                    split="Train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_consep_layout(self, tmp_path):
+        from PIL import Image
+        from scipy.io import savemat
+
+        from torch_em_tpu.data.datasets.histopathology.consep import get_consep_loader
+
+        rng = np.random.default_rng(33)
+        tile_dir = tmp_path / "data" / "consep" / "tiles"
+        lab_dir = tmp_path / "data" / "consep" / "labels"
+        tile_dir.mkdir(parents=True)
+        lab_dir.mkdir(parents=True)
+        # a 2x2 tile grid for one train image: stitching + seam merge
+        for (y1, y2, x1, x2) in ((0, 224, 0, 224), (0, 224, 224, 448),
+                                 (224, 448, 0, 224), (224, 448, 224, 448)):
+            name = f"train_1_{y1}_{y2}_{x1}_{x2}"
+            img = (rng.random((224, 224, 3)) * 255).astype("uint8")
+            Image.fromarray(img).save(tile_dir / f"{name}.png")
+            savemat(str(lab_dir / f"{name}.mat"),
+                    {"instance_map": rng.integers(0, 3, (224, 224)).astype("int32")})
+
+        loader = get_consep_loader(str(tmp_path), patch_shape=(64, 64), batch_size=1,
+                                   split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 64, 64)  # H&E RGB channels-first
+        assert y.shape[-2:] == (64, 64)
+
+    def test_hpa_layout(self, tmp_path):
+        import json as _json
+
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.hpa import get_hpa_segmentation_loader
+
+        rng = np.random.default_rng(34)
+        annotation = {"features": [{"geometry": {
+            "type": "Polygon",
+            "coordinates": [[[10.0, 10.0], [50.0, 10.0], [50.0, 50.0], [10.0, 50.0]]],
+        }}]}
+        for split in ("train", "valid", "test"):
+            img_dir = tmp_path / "hpa_dataset_v2" / split / "img0"
+            img_dir.mkdir(parents=True)
+            for chan in ("microtubules", "protein", "nuclei", "er"):
+                chan_img = (rng.random((64, 64)) * 255).astype("uint8")
+                Image.fromarray(chan_img).save(img_dir / f"{chan}.png")
+            if split != "test":
+                (img_dir / "annotation.json").write_text(_json.dumps(annotation))
+
+        # exercises the 4-channel stacking and polygon rasterization
+        loader = get_hpa_segmentation_loader(str(tmp_path), "train", patch_shape=(32, 32),
+                                             batch_size=1, binary=True, n_workers_preproc=2)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 4, 32, 32)
+        assert y.shape[-2:] == (32, 32)
