@@ -1242,3 +1242,94 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 4, 32, 32)
         assert y.shape[-2:] == (32, 32)
+
+    def test_bccd_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.bccd import get_bccd_loader
+
+        rng = np.random.default_rng(35)
+        raw_dir = tmp_path / "data" / "BCCD Dataset with mask" / "train" / "original"
+        mask_dir = tmp_path / "data" / "BCCD Dataset with mask" / "train" / "mask"
+        raw_dir.mkdir(parents=True)
+        mask_dir.mkdir(parents=True)
+        for i in range(2):
+            img = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            Image.fromarray(img).save(raw_dir / f"img_{i}.png")
+            mask = (rng.random((64, 64)) > 0.6).astype("uint8") * 255
+            Image.fromarray(mask).save(mask_dir / f"img_{i}.png")
+
+        # exercises the mask -> connected-component instance conversion
+        loader = get_bccd_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                 split="train", label_choice="instances")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_vgg_hela_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.vgg_hela import get_vgg_hela_loader
+
+        rng = np.random.default_rng(36)
+        for split in ("train", "test"):
+            img_dir = tmp_path / split / "images"
+            lab_dir = tmp_path / split / "labels"
+            img_dir.mkdir(parents=True)
+            lab_dir.mkdir(parents=True)
+            for i in (1, 2):
+                img = (rng.random((64, 64)) * 255).astype("uint8")
+                Image.fromarray(img).save(img_dir / f"im{i:02}.tif")
+                points = np.zeros((64, 64), "uint8")
+                points[rng.integers(0, 64, 5), rng.integers(0, 64, 5)] = 1
+                Image.fromarray(points).save(lab_dir / f"im{i:02}.tif")
+
+        loader = get_vgg_hela_loader(str(tmp_path), "train", patch_shape=(32, 32),
+                                     batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_kvasir_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.kvasir import get_kvasir_loader
+
+        rng = np.random.default_rng(37)
+        img_dir = tmp_path / "Kvasir-SEG" / "images"
+        mask_dir = tmp_path / "Kvasir-SEG" / "masks"
+        img_dir.mkdir(parents=True)
+        mask_dir.mkdir(parents=True)
+        for i in range(2):
+            img = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            Image.fromarray(img).save(img_dir / f"case_{i}.jpg")
+            mask = np.where(rng.random((64, 64)) > 0.5, 255, 0).astype("uint8")
+            Image.fromarray(np.stack([mask] * 3, -1)).save(mask_dir / f"case_{i}.jpg")
+
+        # exercises the rgb-jpg mask binarization (mean >= 240 threshold)
+        loader = get_kvasir_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_uwaterloo_skin_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.uwaterloo_skin import (
+            get_uwaterloo_skin_loader,
+        )
+
+        rng = np.random.default_rng(38)
+        case_dir = tmp_path / "set1_Data" / "skin_data" / "melanoma" / "case1"
+        case_dir.mkdir(parents=True)
+        for i in range(2):
+            img = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            Image.fromarray(img).save(case_dir / f"p{i}_orig.jpg")
+            gt = (rng.random((64, 64)) > 0.5).astype("uint8") * 255
+            Image.fromarray(gt).save(case_dir / f"p{i}_contour.png")
+
+        loader = get_uwaterloo_skin_loader(str(tmp_path), patch_shape=(32, 32),
+                                           batch_size=1, chosen_set="set1")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
