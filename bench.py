@@ -127,6 +127,10 @@ def main():
     wpad_mode = os.environ.get("BENCH_PHASE_WPAD", "auto")
     use_wpad = wpad_mode == "1"
     dt_dispatch_wpad = None
+    # the A/B costs one extra train-step compile: skip it (recorded below as
+    # a skipped section) when a cold compilation cache already ate the budget
+    if wpad_mode == "auto" and time.perf_counter() - t_start > 0.5 * budget_s:
+        wpad_mode = "skipped-budget"
     if wpad_mode == "auto":
         try:
             with perf_options(phase_wpad=True):
@@ -339,6 +343,7 @@ def main():
             "s_per_iter_single_dispatch_phase_wpad":
             None if dt_dispatch_wpad is None else round(dt_dispatch_wpad, 4),
             "phase_wpad_used": bool(use_wpad),
+            "phase_wpad_ab": wpad_mode,
             "mfu_vs_v5e_peak": None if mfu is None else round(float(mfu), 4),
             "patches_per_sec_with_loader": None if loader_patches_per_sec is None
             else round(float(loader_patches_per_sec), 4),

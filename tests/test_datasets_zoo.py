@@ -1333,3 +1333,55 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 3, 32, 32)
         assert y.shape[-2:] == (32, 32)
+
+    def test_emps_layout(self, tmp_path):
+        import zipfile
+
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.electron_microscopy.emps import get_emps_loader
+
+        rng = np.random.default_rng(39)
+        # fabricate the github archive as an actual zip: exercises the
+        # download-gate skip (zip present), unzip, and csv-driven conversion
+        src = tmp_path / "src" / "emps-main"
+        (src / "images").mkdir(parents=True)
+        (src / "segmaps").mkdir()
+        names = ["p0.png", "p1.png"]
+        for name in names:
+            img = (rng.random((64, 64)) * 255).astype("uint8")
+            Image.fromarray(img).save(src / "images" / name)
+            seg = rng.integers(0, 4, (64, 64)).astype("int32")
+            Image.fromarray(seg, mode="I").save(src / "segmaps" / name)
+        for split in ("train", "test"):
+            (src / f"{split}.csv").write_text("\n".join(names) + "\n")
+        with zipfile.ZipFile(tmp_path / "emps.zip", "w") as zf:
+            for p in src.rglob("*"):
+                if p.is_file():
+                    zf.write(p, p.relative_to(tmp_path / "src"))
+
+        loader = get_emps_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                 split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_betaseg_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.betaseg import get_betaseg_loader
+
+        rng = np.random.default_rng(40)
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        with h5py.File(data_dir / "vol0.h5", "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            for choice in ("mitochondria", "granules"):
+                f.create_dataset(f"labels/{choice}",
+                                 data=rng.integers(0, 3, (8, 64, 64)).astype("uint32"))
+
+        loader = get_betaseg_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                    label_choice="mitochondria")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
