@@ -1385,3 +1385,52 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
         assert y.shape[-3:] == (4, 32, 32)
+
+    def test_jsrt_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.jsrt import get_jsrt_loader
+
+        rng = np.random.default_rng(41)
+        org_dir = tmp_path / "Segmentation01" / "train" / "org"
+        lab_dir = tmp_path / "Segmentation01" / "train" / "label"
+        org_dir.mkdir(parents=True)
+        lab_dir.mkdir()
+        # the other annotation set must exist too (choice=None reads both)
+        seg2 = tmp_path / "segmentation02"
+        (seg2 / "org_train").mkdir(parents=True)
+        (seg2 / "label_train").mkdir()
+        for i in range(2):
+            img = (rng.random((64, 64)) * 255).astype("uint8")
+            Image.fromarray(img).save(org_dir / f"case{i}.png")
+            lab = rng.integers(0, 3, (64, 64)).astype("uint8")
+            Image.fromarray(lab).save(lab_dir / f"case{i}.png")
+
+        loader = get_jsrt_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                 split="train", choice="Segmentation01")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_lynsec_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.histopathology.lynsec import get_lynsec_loader
+
+        rng = np.random.default_rng(42)
+        img_dir = tmp_path / "data" / "ihc" / "images"
+        lab_dir = tmp_path / "data" / "ihc" / "labels"
+        img_dir.mkdir(parents=True)
+        lab_dir.mkdir(parents=True)
+        for i in range(6):
+            img = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            Image.fromarray(img).save(img_dir / f"{i}_l1.tif")
+            lab = rng.integers(0, 4, (64, 64)).astype("int32")
+            Image.fromarray(lab, mode="I").save(lab_dir / f"{i}_l1.tif")
+
+        # creates the persistent random split csv on first use
+        loader = get_lynsec_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                   split="train", choice="ihc")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
