@@ -1434,3 +1434,89 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 3, 32, 32)
         assert y.shape[-2:] == (32, 32)
+
+    def test_aimseg_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.electron_microscopy.aimseg import (
+            get_aimseg_loader, get_aimseg_paths)
+
+        rng = np.random.default_rng(43)
+        for root in ("Control_Dataset", "Validation_Dataset_v1"):
+            for sub in ("Images", "GroundTruth_Instance", "GroundTruth_Semantic"):
+                (tmp_path / root / sub).mkdir(parents=True)
+            for i in range(2):
+                img = (rng.random((64, 64)) * 255).astype("uint8")
+                Image.fromarray(img).save(tmp_path / root / "Images" / f"s{i}.tif")
+                for sub in ("GroundTruth_Instance", "GroundTruth_Semantic"):
+                    lab = rng.integers(0, 4, (64, 64)).astype("uint8")
+                    Image.fromarray(lab).save(tmp_path / root / sub / f"s{i}.tif")
+
+        raw_paths, label_paths = get_aimseg_paths(str(tmp_path))
+        assert len(raw_paths) == len(label_paths) == 4
+        raw_paths, _ = get_aimseg_paths(str(tmp_path), split="control", targets="semantic")
+        assert len(raw_paths) == 2
+
+        loader = get_aimseg_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                   split="validation")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_axonem_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.axonem import get_axonem_loader
+
+        rng = np.random.default_rng(44)
+        for sample in ("human", "mouse"):
+            (tmp_path / sample).mkdir()
+            with h5py.File(tmp_path / sample / "im_0.h5", "w") as f:
+                f.create_dataset("main", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            with h5py.File(tmp_path / sample / "seg_0.h5", "w") as f:
+                f.create_dataset("main", data=rng.integers(1, 5, (8, 64, 64)).astype("uint64"))
+
+        loader = get_axonem_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                   samples=("human", "mouse"))
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_deepict_actin_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.deepict import (
+            get_deepict_actin_loader)
+
+        rng = np.random.default_rng(45)
+        (tmp_path / "deepict_actin").mkdir()
+        # the processed-layout h5 files the portal download pipeline produces
+        for ds in ("00004", "00012"):
+            with h5py.File(tmp_path / "deepict_actin" / f"{ds}.h5", "w") as f:
+                f.create_dataset("raw", data=rng.random((8, 64, 64)).astype("float32"))
+                f.create_dataset("labels/actin",
+                                 data=(rng.random((8, 64, 64)) > 0.7).astype("uint8"))
+
+        loader = get_deepict_actin_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                          batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_densecell_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.densecell import (
+            get_densecell_loader)
+
+        rng = np.random.default_rng(46)
+        for split in ("train", "val"):
+            with h5py.File(tmp_path / f"densecell_{split}.h5", "w") as f:
+                f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+                f.create_dataset("labels", data=rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+
+        loader = get_densecell_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                      batch_size=1, split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
