@@ -1520,3 +1520,58 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
         assert y.shape[-3:] == (4, 32, 32)
+
+    def test_asem_layout(self, tmp_path):
+        import json
+
+        from torch_em_tpu.data.datasets.electron_microscopy.asem import get_asem_loader
+        from torch_em_tpu.utils.io import write_data
+
+        rng = np.random.default_rng(47)
+        vol = tmp_path / "cell_1" / "cell_1.zarr"
+        write_data(str(vol), "volumes/raw", (rng.random((8, 64, 64)) * 255).astype("uint8"))
+        write_data(str(vol), "volumes/labels/mito",
+                   (rng.random((8, 64, 64)) > 0.6).astype("uint8"))
+
+        loader = get_asem_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                 organelles="mito", volume_ids="cell_1")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+        # an inconsistent volume (labels are an offset crop of the raw): the
+        # loader must crop the raw to the label bounding box via .zattrs offsets
+        vol6 = tmp_path / "cell_6" / "cell_6.zarr"
+        write_data(str(vol6), "volumes/raw", (rng.random((12, 64, 64)) * 255).astype("uint8"))
+        write_data(str(vol6), "volumes/labels/mito",
+                   (rng.random((8, 48, 48)) > 0.6).astype("uint8"))
+        with open(vol6 / "volumes" / "raw" / ".zattrs", "w") as f:
+            json.dump({"offset": [0, 0, 0], "resolution": [1, 1, 1]}, f)
+        with open(vol6 / "volumes" / "labels" / "mito" / ".zattrs", "w") as f:
+            json.dump({"offset": [2, 8, 8], "resolution": [1, 1, 1]}, f)
+
+        loader = get_asem_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                 organelles="mito", volume_ids="cell_6")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert (vol6 / "volumes" / "raw_mito").exists()
+
+    def test_astih_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.astih import get_astih_loader
+
+        rng = np.random.default_rng(48)
+        (tmp_path / "TEM1" / "train").mkdir(parents=True)
+        for i in range(2):
+            with h5py.File(tmp_path / "TEM1" / "train" / f"s{i}.h5", "w") as f:
+                f.create_dataset("raw", data=(rng.random((64, 64)) * 255).astype("uint8"))
+                f.create_dataset("labels", data=rng.integers(0, 3, (64, 64)).astype("uint8"))
+
+        # one-hot class selection (myelin + axon channels)
+        loader = get_astih_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                  name="TEM1", split="train",
+                                  label_classes=("myelin", "axon"))
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 32, 32)
+        assert y.shape == (1, 2, 32, 32)

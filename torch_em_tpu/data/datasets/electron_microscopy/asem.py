@@ -79,31 +79,40 @@ def get_asem_paths(path: Union[os.PathLike, str], volume_ids: List[str],
 
 def _make_volumes_consistent(volume_path, organelle):
     """Crop raw to the label bounding box for volumes whose label shape differs;
-    stores the crop as ``volumes/raw_<organelle>`` inside the zarr group."""
-    import zarr
+    stores the crop as ``volumes/raw_<organelle>`` inside the zarr group.
+
+    Uses this stack's tensorstore-backed I/O plus the zarr-v2 on-disk ``.zattrs``
+    JSON for the offset/resolution metadata, so no zarr-python is required."""
+    import json
+
+    from ....utils.io import load_data, write_data
 
     volume_name = os.path.split(volume_path)[-1]
     inc_vols = INCONSISTENT_VOLUMES.get(organelle)
     if inc_vols is None or volume_name not in inc_vols:
         return False
 
-    f = zarr.open(volume_path, "r+")
-    if f"raw_{organelle}" in list(f["volumes"].keys()):
+    if os.path.exists(os.path.join(volume_path, "volumes", f"raw_{organelle}")):
         return True
 
-    raw = f["volumes/raw"][:]
-    labels = f[f"volumes/labels/{organelle}"][:]
+    raw = np.asarray(load_data(volume_path, "volumes/raw")[:])
+    labels = np.asarray(load_data(volume_path, f"volumes/labels/{organelle}")[:])
     if labels.shape == raw.shape:
         return False
 
-    img_offset = np.array(f["volumes/raw"].attrs["offset"]) // np.array(f["volumes/raw"].attrs["resolution"])
-    label_offset = (np.array(f[f"volumes/labels/{organelle}"].attrs["offset"])
-                    // np.array(f[f"volumes/labels/{organelle}"].attrs["resolution"]))
+    def _attrs(key):
+        with open(os.path.join(volume_path, *key.split("/"), ".zattrs")) as f:
+            return json.load(f)
+
+    raw_attrs = _attrs("volumes/raw")
+    label_attrs = _attrs(f"volumes/labels/{organelle}")
+    img_offset = np.array(raw_attrs["offset"]) // np.array(raw_attrs["resolution"])
+    label_offset = np.array(label_attrs["offset"]) // np.array(label_attrs["resolution"])
     offset = label_offset - img_offset
     bb = tuple(slice(int(o), int(o + s)) for o, s in zip(offset, labels.shape))
     new_raw = raw[bb]
     assert new_raw.shape == labels.shape
-    f.create_dataset(f"volumes/raw_{organelle}", data=new_raw, chunks=new_raw.shape)
+    write_data(volume_path, f"volumes/raw_{organelle}", new_raw, chunks=new_raw.shape)
     return True
 
 
