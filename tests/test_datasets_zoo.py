@@ -1575,3 +1575,74 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 32, 32)
         assert y.shape == (1, 2, 32, 32)
+
+    @staticmethod
+    def _save_stack(path, vol):
+        from PIL import Image
+
+        frames = [Image.fromarray(sl) for sl in vol]
+        frames[0].save(path, save_all=True, append_images=frames[1:])
+
+    def test_cem_mitolab_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.electron_microscopy.cem import get_mitolab_loader
+
+        rng = np.random.default_rng(49)
+        for ds in ("dataset_a", "dataset_b"):
+            for sub in ("images", "masks"):
+                (tmp_path / "11037" / "cem_mitolab" / ds / sub).mkdir(parents=True)
+            for i in range(4):
+                img = (rng.random((64, 64)) * 255).astype("uint8")
+                Image.fromarray(img).save(
+                    tmp_path / "11037" / "cem_mitolab" / ds / "images" / f"p{i}.tiff")
+                # patch 0 of dataset_a is empty: must be discarded by the cache
+                lab = np.zeros((64, 64), dtype="uint8") if (ds, i) == ("dataset_a", 0) \
+                    else rng.integers(0, 3, (64, 64)).astype("uint8")
+                Image.fromarray(lab).save(
+                    tmp_path / "11037" / "cem_mitolab" / ds / "masks" / f"p{i}.tiff")
+
+        loader = get_mitolab_loader(str(tmp_path), split="train", batch_size=2,
+                                    patch_shape=(32, 32), val_fraction=0.2)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        # the empty patch was filtered and the filter result cached
+        assert (tmp_path / "11037" / "cem_mitolab" / "non_empty_images.json").exists()
+
+    def test_cem_benchmark_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.electron_microscopy.cem import get_benchmark_loader
+
+        rng = np.random.default_rng(50)
+        ds_dir = tmp_path / "10982" / "data" / "mito_benchmarks" / "c_elegans"
+        ds_dir.mkdir(parents=True)
+        self._save_stack(ds_dir / "c_elegans_em.tif",
+                         (rng.random((8, 64, 64)) * 255).astype("uint8"))
+        self._save_stack(ds_dir / "c_elegans_mito.tif",
+                         rng.integers(0, 3, (8, 64, 64)).astype("uint8"))
+
+        loader = get_benchmark_loader(str(tmp_path), dataset_id=1,
+                                      patch_shape=(4, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_emneuron_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.electron_microscopy.emneuron import get_emneuron_loader
+
+        rng = np.random.default_rng(51)
+        sub = tmp_path / "labeled" / "modality_x"
+        sub.mkdir(parents=True)
+        self._save_stack(sub / "vol0.tif", (rng.random((8, 64, 64)) * 255).astype("uint8"))
+        self._save_stack(sub / "vol0_MaskIns.tif",
+                         rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+        val = tmp_path / "valid" / "modality_x" / "vol0"
+        val.mkdir(parents=True)
+        self._save_stack(val / "raw.tif", (rng.random((8, 64, 64)) * 255).astype("uint8"))
+        self._save_stack(val / "label.tif", rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+
+        for split in ("train", "val"):
+            loader = get_emneuron_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                         batch_size=1, split=split)
+            x, y = next(iter(loader))
+            assert x.shape == (1, 1, 4, 32, 32)
+            assert y.shape[-3:] == (4, 32, 32)
