@@ -1646,3 +1646,50 @@ class TestZooLayouts:
             x, y = next(iter(loader))
             assert x.shape == (1, 1, 4, 32, 32)
             assert y.shape[-3:] == (4, 32, 32)
+
+    def test_fib25_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.fib25 import get_fib25_loader
+
+        rng = np.random.default_rng(52)
+        sample_dir = tmp_path / "training_sample2"
+        sample_dir.mkdir()
+        with h5py.File(sample_dir / "raw.h5", "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+        stack = rng.integers(1, 6, (8, 64, 64)).astype("uint64")
+        # supervoxel -> body id table: map everything onto two bodies
+        transforms = np.array([[1, 10], [2, 10], [3, 20], [4, 20], [5, 20]],
+                              dtype="uint64")
+        with h5py.File(sample_dir / "groundtruth.h5", "w") as f:
+            f.create_dataset("stack", data=stack)
+            f.create_dataset("transforms", data=transforms)
+
+        loader = get_fib25_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                  boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+        # the transforms table was applied and cached as neuron_ids
+        with h5py.File(sample_dir / "groundtruth.h5", "r") as f:
+            ids = set(np.unique(f["neuron_ids"][:]).tolist())
+        assert ids <= {0, 10, 20}
+
+    def test_fafb_nuclei_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.fafb_nuclei import (
+            get_fafb_nuclei_loader)
+
+        rng = np.random.default_rng(53)
+        (tmp_path / "train").mkdir()
+        with h5py.File(tmp_path / "train" / "block0.h5", "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("labels/nuclei",
+                             data=rng.integers(0, 4, (8, 64, 64)).astype("uint32"))
+
+        loader = get_fafb_nuclei_loader(str(tmp_path), split="train",
+                                        patch_shape=(4, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
