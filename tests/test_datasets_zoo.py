@@ -1693,3 +1693,48 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
         assert y.shape[-3:] == (4, 32, 32)
+
+    def test_hemibrain_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.hemibrain import (
+            DEFAULT_BOUNDING_BOX, _bbox_to_str, get_hemibrain_loader)
+
+        rng = np.random.default_rng(54)
+        # the cached-subvolume layout the streaming download produces
+        with h5py.File(tmp_path / f"neurons_{_bbox_to_str(DEFAULT_BOUNDING_BOX)}.h5", "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("labels", data=rng.integers(1, 5, (8, 64, 64)).astype("uint64"))
+
+        loader = get_hemibrain_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                      boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_human_organoids_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.electron_microscopy.human_organoids import (
+            get_human_organoids_loader, get_human_organoids_paths)
+        from torch_em_tpu.utils.medical_io import save_mrc
+
+        rng = np.random.default_rng(55)
+        root = tmp_path / "11380"
+        root.mkdir()
+        raw = (rng.random((8, 64, 64)) * 255).astype("float32")
+        save_mrc(str(root / "tomo1_bin2.mrc"), raw)
+        save_mrc(str(root / "tomo1_bin2_mitos.mrc"),
+                 (rng.random((8, 64, 64)) > 0.7).astype("float32"))
+        # the outlier naming case: *_cell maps to the entotic_cell organelle
+        save_mrc(str(root / "tomo1_bin2_cell.mrc"),
+                 (rng.random((8, 64, 64)) > 0.7).astype("float32"))
+
+        paths = get_human_organoids_paths(str(tmp_path), "entotic_cell")
+        assert len(paths) == 1
+        # the mrcs were merged into one h5 and removed
+        assert not list(root.glob("*.mrc"))
+
+        loader = get_human_organoids_loader(str(tmp_path), "mitos",
+                                            patch_shape=(4, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)

@@ -37,10 +37,11 @@ def _prepare_dataset(data_root):
             if label_name == "cell":  # one outlier naming case
                 label_name = "entotic_cell"
             labels[label_name] = np.asarray(load_mrc(label_path))
+        chunks = tuple(min(c, s) for c, s in zip((8, 128, 128), raw.shape))
         with h5py.File(vol_path, "w") as f:
-            f.create_dataset("raw", data=raw, chunks=(8, 128, 128), compression="gzip")
+            f.create_dataset("raw", data=raw, chunks=chunks, compression="gzip")
             for lname, lvol in labels.items():
-                f.create_dataset(lname, data=lvol, chunks=(8, 128, 128), compression="gzip")
+                f.create_dataset(lname, data=lvol, chunks=chunks, compression="gzip")
         os.remove(raw_path)
         for p in label_paths:
             os.remove(p)
