@@ -1738,3 +1738,65 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
         assert y.shape[-3:] == (4, 32, 32)
+
+    def test_humanneurons_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.humanneurons import (
+            DEFAULT_BOUNDING_BOX, _bbox_to_str, get_humanneurons_loader)
+
+        rng = np.random.default_rng(56)
+        with h5py.File(tmp_path / f"humanneurons_{_bbox_to_str(DEFAULT_BOUNDING_BOX)}.h5",
+                       "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("labels", data=rng.integers(1, 5, (8, 64, 64)).astype("uint64"))
+
+        loader = get_humanneurons_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                         batch_size=1, boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_hydra_vulgaris_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.hydra_vulgaris import (
+            HYDRA_BOUNDING_BOXES, _bbox_to_str, get_hydra_loader)
+
+        rng = np.random.default_rng(57)
+        with h5py.File(tmp_path / f"hydra_{_bbox_to_str(HYDRA_BOUNDING_BOXES[0])}.h5",
+                       "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("labels", data=rng.integers(1, 5, (8, 64, 64)).astype("uint64"))
+
+        loader = get_hydra_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+
+    def test_mitoemv2_layout(self, tmp_path):
+        import json
+
+        from torch_em_tpu.data.datasets.electron_microscopy.mitoemv2 import (
+            get_mitoemv2_loader, get_mitoemv2_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(58)
+        ds_dir = tmp_path / "Dataset001_ME2-Beta"
+        (ds_dir / "imagesTr").mkdir(parents=True)
+        (ds_dir / "labelsTr").mkdir()
+        with open(ds_dir / "split.json", "w") as f:
+            json.dump([{"train": ["me2-beta_train01"], "val": []}], f)
+        # nifti loads transpose to zyx inside the converter; fabricate xyz
+        save_nifti(str(ds_dir / "imagesTr" / "me2-beta_train01_0000.nii.gz"),
+                   (rng.random((64, 64, 8)) * 255).astype("uint8"))
+        save_nifti(str(ds_dir / "labelsTr" / "me2-beta_train01.nii.gz"),
+                   rng.integers(0, 3, (64, 64, 8)).astype("uint16"))
+
+        paths = get_mitoemv2_paths(str(tmp_path), datasets="beta", split="train")
+        assert len(paths) == 1 and paths[0].endswith(".n5")
+
+        loader = get_mitoemv2_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                     datasets="beta", split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)

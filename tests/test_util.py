@@ -249,3 +249,36 @@ class TestMedicalIO:
         np.testing.assert_allclose(np.asarray(load_nrrd(p1)), vol)
         np.testing.assert_allclose(np.asarray(load_mrc(p2)), vol)
         np.testing.assert_allclose(np.asarray(load_data(p2)), vol)
+
+
+class TestContainerIO:
+    """write_data/load_data round trips over the tensorstore-backed formats."""
+
+    def test_n5_round_trip_and_convention(self, tmp_path):
+        import json
+
+        from torch_em_tpu.utils.io import load_data, write_data
+
+        data = np.arange(3 * 4 * 5, dtype="uint16").reshape(3, 4, 5)
+        path = str(tmp_path / "vol.n5")
+        write_data(path, "raw", data, chunks=(2, 4, 5))
+
+        # round trip preserves numpy orientation
+        back = load_data(path, "raw")
+        assert back.shape == (3, 4, 5)
+        np.testing.assert_array_equal(np.asarray(back[:]), data)
+        # on-disk metadata follows the n5 (column-major) ecosystem convention
+        with open(tmp_path / "vol.n5" / "raw" / "attributes.json") as f:
+            attrs = json.load(f)
+        assert attrs["dimensions"] == [5, 4, 3]
+        assert attrs["blockSize"] == [5, 4, 2]
+
+    def test_zarr_round_trip(self, tmp_path):
+        from torch_em_tpu.utils.io import load_data, write_data
+
+        data = np.arange(3 * 4 * 5, dtype="float32").reshape(3, 4, 5)
+        path = str(tmp_path / "vol.zarr")
+        write_data(path, "raw", data, chunks=(2, 4, 5))
+        back = load_data(path, "raw")
+        assert back.shape == (3, 4, 5)
+        np.testing.assert_array_equal(np.asarray(back[:]), data)

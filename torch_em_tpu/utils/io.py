@@ -76,6 +76,10 @@ def _open_tensorstore(path: str, key: Optional[str], driver: str, mode: str = "r
     if "w" in mode or "a" in mode:
         open_kwargs.update({"create": True, "open": True})
     store = ts.open(spec, **open_kwargs).result()
+    if driver == "n5":
+        # the n5 ecosystem (z5py/java) stores `dimensions` column-major;
+        # tensorstore exposes them as stored, so transpose to numpy (C) order.
+        store = store.T
     return LazyTensorStore(store)
 
 
@@ -275,13 +279,17 @@ def write_data(path: str, key: Optional[str], data: np.ndarray, chunks: Optional
     if ext in ZARR_EXTENSIONS or ext in N5_EXTENSIONS:
         driver = "zarr" if ext in ZARR_EXTENSIONS else "n5"
         spec = _tensorstore_spec(path, key, driver)
-        spec["metadata"] = {"shape": list(data.shape)}
-        if chunks is not None:
-            if driver == "zarr":
+        if driver == "zarr":
+            spec["metadata"] = {"shape": list(data.shape)}
+            if chunks is not None:
                 spec["metadata"]["chunks"] = list(chunks)
-            else:
+        else:  # n5 metadata is column-major: dimensions/blockSize are reversed
+            spec["metadata"] = {"dimensions": list(data.shape)[::-1]}
+            if chunks is not None:
                 spec["metadata"]["blockSize"] = list(chunks)[::-1]
         store = ts.open(spec, create=True, delete_existing=True, dtype=ts.dtype(data.dtype)).result()
+        if driver == "n5":
+            store = store.T  # column-major on disk; write through the C-order view
         store[...] = data
         return
     if ext in NUMPY_EXTENSIONS:
