@@ -1800,3 +1800,75 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
         assert y.shape[-3:] == (4, 32, 32)
+
+    def test_malecns_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.malecns import (
+            DEFAULT_BOUNDING_BOX, _bbox_to_str, get_malecns_loader)
+
+        rng = np.random.default_rng(59)
+        with h5py.File(tmp_path / f"{_bbox_to_str(DEFAULT_BOUNDING_BOX)}.h5", "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("labels", data=rng.integers(1, 5, (8, 64, 64)).astype("uint64"))
+
+        loader = get_malecns_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+
+    def test_manc_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.manc import (
+            DEFAULT_BOUNDING_BOX, _bbox_to_str, get_manc_loader)
+
+        rng = np.random.default_rng(60)
+        with h5py.File(tmp_path / f"{_bbox_to_str(DEFAULT_BOUNDING_BOX)}.h5", "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("labels", data=rng.integers(1, 5, (8, 64, 64)).astype("uint64"))
+
+        loader = get_manc_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                 boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_mousecc_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.electron_microscopy.mousecc import get_mousecc_loader
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(61)
+        # the manually downloaded nifti quadruple; (x, y, z) on disk
+        save_nifti(str(tmp_path / "datac.nii"), (rng.random((64, 64, 8)) * 255).astype("uint8"))
+        save_nifti(str(tmp_path / "maskc.nii"), (rng.random((64, 64, 8)) > 0.5).astype("uint8"))
+        save_nifti(str(tmp_path / "myelin_mask.nii"),
+                   (rng.random((64, 64, 8)) > 0.5).astype("uint8"))
+        save_nifti(str(tmp_path / "fibers.nii"), rng.integers(0, 5, (64, 64, 8)).astype("uint32"))
+
+        for label_choice in ("myelin", "fibers"):
+            loader = get_mousecc_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                        label_choice=label_choice)
+            x, y = next(iter(loader))
+            assert x.shape == (1, 1, 4, 32, 32)
+            assert y.shape[-3:] == (4, 32, 32)
+
+    def test_probtem_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.electron_microscopy.probtem import get_probtem_loader
+
+        rng = np.random.default_rng(62)
+        root = tmp_path / "Deeppi-EM" / "mitoseg_deploy" / "datasets" / "Skeletal_muscle"
+        (root / "train" / "input").mkdir(parents=True)
+        (root / "train" / "target").mkdir()
+        for i in range(2):
+            img = (rng.random((64, 64)) * 255).astype("uint8")
+            Image.fromarray(img).save(root / "train" / "input" / f"x_{i}.tif")
+            lab = (rng.random((64, 64)) * 255).astype("uint8")
+            Image.fromarray(lab).save(root / "train" / "target" / f"y_{i}.png")
+
+        loader = get_probtem_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                    split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 32, 32)
+        assert set(np.unique(np.asarray(y))) <= {0.0, 1.0}
