@@ -1872,3 +1872,39 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 32, 32)
         assert set(np.unique(np.asarray(y))) <= {0.0, 1.0}
+
+    def test_synapseweb_hippocampus_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.synapseweb_hippocampus import (
+            get_synapseweb_hippocampus_loader)
+
+        rng = np.random.default_rng(63)
+        with h5py.File(tmp_path / "synapseweb_hippocampus_spine.h5", "w") as f:
+            f.create_dataset("raw", data=(rng.random((10, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("labels", data=rng.integers(1, 5, (10, 64, 64)).astype("uint64"))
+
+        # the default DENSE_ROI exceeds this fixture; override with a fitting one
+        loader = get_synapseweb_hippocampus_loader(
+            str(tmp_path), patch_shape=(4, 32, 32), batch_size=1, regions=("spine",),
+            rois={"spine": np.s_[1:9, 8:60, 8:60]})
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_wildenberg_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.wildenberg import (
+            DEFAULT_BOUNDING_BOX, _bbox_to_str, get_wildenberg_loader)
+
+        rng = np.random.default_rng(64)
+        name = f"p14_psd_{_bbox_to_str(DEFAULT_BOUNDING_BOX)}.h5"
+        with h5py.File(tmp_path / name, "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("labels", data=rng.integers(0, 3, (8, 64, 64)).astype("uint64"))
+
+        loader = get_wildenberg_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                       experiment="p14", labels="psd")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
