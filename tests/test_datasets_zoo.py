@@ -1908,3 +1908,61 @@ class TestZooLayouts:
                                        experiment="p14", labels="psd")
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
+
+    def test_nisb_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.electron_microscopy import nisb
+        from torch_em_tpu.utils.io import write_data
+
+        rng = np.random.default_rng(65)
+        # cached layout: <setting>/<split>/seed<i>/data.zarr with img/seg keys
+        store = tmp_path / "base" / "val" / "seed0" / "data.zarr"
+        write_data(str(store), "img", (rng.random((16, 64, 64)) * 255).astype("uint8"))
+        write_data(str(store), "seg", rng.integers(1, 5, (16, 64, 64)).astype("uint16"))
+
+        loader = nisb.get_nisb_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1,
+                                      setting="base", split="val", boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+        # the streaming cube writer itself, driven from an in-memory v2-like source
+        class FakeV2:
+            def __init__(self, arr):
+                self._arr = arr
+                self.shape, self.ndim = arr.shape, arr.ndim
+
+            def __getitem__(self, idx):
+                return self._arr[idx]
+
+        img_xyz = (rng.random((48, 40, 32, 1)) * 255).astype("uint8")  # (x, y, z, 1)
+        seg_xyz = rng.integers(1, 7, (48, 40, 32)).astype("uint16")
+        out = tmp_path / "base" / "val" / "seed1" / "data.zarr"
+        out.parent.mkdir(parents=True)
+        nisb._nisb_write_cube({"img": FakeV2(img_xyz), "seg": FakeV2(seg_xyz)}, str(out))
+        from torch_em_tpu.utils.io import load_data
+        img_back = np.asarray(load_data(str(out), "img")[:])
+        assert img_back.shape == (32, 40, 48)
+        np.testing.assert_array_equal(img_back, img_xyz[..., 0].transpose(2, 1, 0))
+        seg_back = np.asarray(load_data(str(out), "seg")[:])
+        np.testing.assert_array_equal(seg_back, seg_xyz.transpose(2, 1, 0))
+
+    def test_waenet_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.waenet import get_waenet_loader
+
+        rng = np.random.default_rng(66)
+        out_dir = tmp_path / "dataset_3"
+        out_dir.mkdir()
+        # the preprocessed per-image h5 layout (one binary mask per class)
+        with h5py.File(out_dir / "im0.h5", "w") as f:
+            f.create_dataset("raw", data=(rng.random((64, 64)) * 255).astype("uint8"))
+            lab = rng.integers(0, 4, (64, 64))
+            for idx, name in enumerate(("background", "cytoplasm", "nucleus", "mitochondria")):
+                f.create_dataset(f"labels/{name}", data=(lab == idx).astype("uint8"))
+
+        loader = get_waenet_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                   dataset_id=3, label_type="mitochondria")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)

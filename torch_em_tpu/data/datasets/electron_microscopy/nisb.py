@@ -58,8 +58,10 @@ def _nisb_open_remote(setting: str, split: str, seed_idx: int):
 def _nisb_write_cube(src, zarr_path: str) -> None:
     """Stream a NISB cube from the zarr v2 source to a local zarr store,
     transposing (x, y, z) -> (z, y, x) and squeezing the trailing singleton
-    channel dim on the image."""
-    import zarr
+    channel dim on the image. The local store is written through tensorstore
+    (this stack's zarr backend), so zarr-python is only needed for the remote
+    side."""
+    import tensorstore as ts
 
     img_v2, seg_v2 = src["img"], src["seg"]
     squeeze_img = img_v2.ndim == 4 and img_v2.shape[-1] == 1
@@ -72,10 +74,17 @@ def _nisb_write_cube(src, zarr_path: str) -> None:
     tmp_path = zarr_path + ".tmp"
     if os.path.exists(tmp_path):
         shutil.rmtree(tmp_path)
-    root = zarr.open_group(tmp_path, mode="w")
-    img_out = root.create_array("img", shape=img_shape, dtype="uint8",
-                                chunks=NISB_CHUNK_SHAPE + tuple(img_shape[3:]))
-    seg_out = root.create_array("seg", shape=seg_shape, dtype="uint16", chunks=NISB_CHUNK_SHAPE)
+
+    def _create(key, shape, dtype, chunks):
+        return ts.open({
+            "driver": "zarr",
+            "kvstore": {"driver": "file", "path": tmp_path},
+            "path": key,
+            "metadata": {"shape": list(shape), "chunks": list(chunks)},
+        }, create=True, dtype=ts.dtype(np.dtype(dtype))).result()
+
+    img_out = _create("img", img_shape, "uint8", NISB_CHUNK_SHAPE + tuple(img_shape[3:]))
+    seg_out = _create("seg", seg_shape, "uint16", NISB_CHUNK_SHAPE)
 
     Z, Y, X = seg_shape
     step = 512
