@@ -1966,3 +1966,69 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 32, 32)
         assert y.shape[-2:] == (32, 32)
+
+    def test_zebrafinch_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.zebrafinch import (
+            DEFAULT_BOUNDING_BOX, _bbox_to_str, get_zebrafinch_loader)
+
+        rng = np.random.default_rng(67)
+        with h5py.File(tmp_path / f"j0126_{_bbox_to_str(DEFAULT_BOUNDING_BOX)}.h5", "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("labels", data=rng.integers(1, 5, (8, 64, 64)).astype("uint64"))
+
+        loader = get_zebrafinch_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                       dataset="j0126", boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+
+    def test_microns_zenodo_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.microns import (
+            get_microns_loader, get_microns_paths)
+
+        rng = np.random.default_rng(68)
+        (tmp_path / "pinky").mkdir()
+        with h5py.File(tmp_path / "pinky" / "em0.h5", "w") as f:
+            f.create_dataset("volumes/image",
+                             data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("volumes/segmentation",
+                             data=rng.integers(1, 5, (8, 64, 64)).astype("uint64"))
+            f.create_dataset("volumes/mitochondria",
+                             data=rng.integers(0, 3, (8, 64, 64)).astype("uint64"))
+        # a volume with mismatched shapes must be skipped by the path helper
+        with h5py.File(tmp_path / "pinky" / "em1.h5", "w") as f:
+            f.create_dataset("volumes/image",
+                             data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("volumes/segmentation",
+                             data=rng.integers(1, 5, (4, 32, 32)).astype("uint64"))
+
+        paths = get_microns_paths(str(tmp_path), ["pinky"], download=False)
+        assert len(paths) == 1
+
+        for label_choice in ("neuron", "mitochondria"):
+            loader = get_microns_loader(str(tmp_path), batch_size=1,
+                                        patch_shape=(4, 32, 32), volumes=["pinky"],
+                                        label_choice=label_choice, boundaries=True)
+            x, y = next(iter(loader))
+            assert x.shape == (1, 1, 4, 32, 32)
+
+    def test_microns_minnie65_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.microns import (
+            MINNIE65_BOUNDING_BOXES, _minnie65_bbox_to_str, get_microns_minnie65_loader)
+
+        rng = np.random.default_rng(69)
+        bbox = MINNIE65_BOUNDING_BOXES["val"][0]
+        with h5py.File(tmp_path / f"minnie65_{_minnie65_bbox_to_str(bbox)}.h5", "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("labels", data=rng.integers(1, 5, (8, 64, 64)).astype("uint64"))
+
+        loader = get_microns_minnie65_loader(str(tmp_path), batch_size=1,
+                                             patch_shape=(4, 32, 32),
+                                             bounding_boxes=[bbox])
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
