@@ -2032,3 +2032,33 @@ class TestZooLayouts:
                                              bounding_boxes=[bbox])
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
+
+    def test_cellmap_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.electron_microscopy.cellmap import (
+            get_cellmap_loader, get_cellmap_paths)
+
+        rng = np.random.default_rng(70)
+        crops_dir = tmp_path / "data_crops"
+        crops_dir.mkdir()
+        # the cached crop layout (raw + per-organelle labels, -1 padding)
+        for crop_id, organelles in ((234, ("all", "mito")), (235, ("all",))):
+            with h5py.File(crops_dir / f"crop_{crop_id}.h5", "w") as f:
+                f.attrs["scale"] = [8.0, 8.0, 8.0]
+                f.create_dataset("raw_crop",
+                                 data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+                for org in organelles:
+                    lab = rng.integers(0, 4, (8, 64, 64)).astype("int16")
+                    lab[:, :4] = -1  # unannotated padding shell
+                    f.create_dataset(f"label_crop/{org}", data=lab)
+
+        # organelle filtering: only crop 234 carries mito labels
+        paths = get_cellmap_paths(str(tmp_path), organelles="mito", crops=[234, 235])
+        assert len(paths) == 1 and paths[0].endswith("crop_234.h5")
+
+        loader = get_cellmap_loader(str(tmp_path), batch_size=1, patch_shape=(4, 32, 32),
+                                    organelles=None, crops=[234, 235])
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)

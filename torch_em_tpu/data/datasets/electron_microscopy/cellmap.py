@@ -35,6 +35,13 @@ def _download_cellmap_data(path, crops, resolution, padding, download=False):
     """
     import h5py
 
+    # explicit crop lists that are fully cached need neither the manifest nor
+    # the (optional) challenge toolbox
+    if crops not in ("all", "test"):
+        crop_ids = [int(x) for x in crops.split(",")]
+        if all(os.path.exists(os.path.join(path, f"crop_{c}.h5")) for c in crop_ids):
+            return path, crop_ids
+
     try:
         from cellmap_segmentation_challenge.utils.fetch_data import read_group, subset_to_slice
         from cellmap_segmentation_challenge.utils.crops import fetch_crop_manifest, get_test_crops, TestCropRow
