@@ -2062,3 +2062,170 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
         assert y.shape[-3:] == (4, 32, 32)
+
+    def test_bcss_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.histopathology.bcss import (
+            get_bcss_loader, get_bcsss_paths)
+
+        rng = np.random.default_rng(71)
+        # the git-repo layout: flat images/ + masks/ sorted into train/test
+        (tmp_path / "images").mkdir()
+        (tmp_path / "masks").mkdir()
+        for i in range(5):
+            raw = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            lab = rng.integers(0, 5, (64, 64)).astype("uint8")
+            Image.fromarray(raw).save(tmp_path / "images" / f"TCGA-XX-{i}.png")
+            Image.fromarray(lab).save(tmp_path / "masks" / f"TCGA-XX-{i}.png")
+
+        # no fabricated slide is in the held-out TEST_LIST -> all go to train
+        tr_im, tr_lb = get_bcsss_paths(str(tmp_path), split="train", val_fraction=0.2)
+        va_im, _ = get_bcsss_paths(str(tmp_path), split="val", val_fraction=0.2)
+        assert len(tr_im) == len(tr_lb) == 4 and len(va_im) == 1
+
+        loader = get_bcss_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                 split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_conic_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.histopathology.conic import get_conic_loader
+
+        rng = np.random.default_rng(72)
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        # two cohorts x five sources x two patches each (the stratified
+        # source-level splitter needs >= 2 sources per cohort in the test fold)
+        names = [f"{c}_{s}-{i}" for c in ("consep", "crag")
+                 for s in range(5) for i in range(2)]
+        with open(data_dir / "patch_info.csv", "w") as f:
+            f.write("patch_info\n" + "\n".join(names) + "\n")
+        n = len(names)
+        np.save(data_dir / "images.npy", (rng.random((n, 32, 32, 3)) * 255).astype("uint8"))
+        labels = np.zeros((n, 32, 32, 2), dtype="int32")
+        labels[:, 4:12, 4:12, 0] = 1  # instance channel
+        labels[:, 4:12, 4:12, 1] = 2  # semantic channel
+        np.save(data_dir / "labels.npy", labels)
+
+        loader = get_conic_loader(str(tmp_path), patch_shape=(1, 16, 16), batch_size=2,
+                                  split="train", label_choice="instances")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 16, 16)  # ndim=2 squeezes the stack axis
+        assert y.shape[-2:] == (16, 16)
+        with h5py.File(data_dir / "train.h5", "r") as f:
+            assert f["raw"].shape[0] == 3  # (C, B, H, W)
+            assert f["labels/instances"].shape[1:] == (32, 32)
+
+    def test_glysac_layout(self, tmp_path):
+        from PIL import Image
+        from scipy.io import savemat
+
+        from torch_em_tpu.data.datasets.histopathology.glysac import (
+            get_glysac_loader, get_glysac_paths)
+
+        rng = np.random.default_rng(73)
+        data_dir = tmp_path / "glysac_dataset"
+        for folder in ("Train", "Test"):
+            (data_dir / folder / "Images").mkdir(parents=True)
+            (data_dir / folder / "Labels").mkdir(parents=True)
+            for i in range(2):
+                raw = (rng.random((64, 64, 3)) * 255).astype("uint8")
+                Image.fromarray(raw).save(data_dir / folder / "Images" / f"im{i}.png")
+                savemat(data_dir / folder / "Labels" / f"im{i}.mat",
+                        {"inst_map": rng.integers(0, 4, (64, 64)).astype("float64"),
+                         "type_map": rng.integers(0, 3, (64, 64)).astype("float64")})
+
+        paths = get_glysac_paths(str(tmp_path), split="train")
+        assert len(paths) == 2 and all(p.endswith(".h5") for p in paths)
+
+        loader = get_glysac_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                   split="train", label_choice="instances")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_nuinsseg_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.histopathology.nuinsseg import (
+            get_nuinsseg_loader, get_nuinsseg_paths)
+
+        rng = np.random.default_rng(74)
+        for organ in ("human liver", "mouse spleen"):
+            im_dir = tmp_path / "data" / organ / "tissue images"
+            lb_dir = tmp_path / "data" / organ / "label masks modify"
+            im_dir.mkdir(parents=True)
+            lb_dir.mkdir(parents=True)
+            for i in range(2):
+                raw = (rng.random((64, 64, 3)) * 255).astype("uint8")
+                lab = rng.integers(0, 4, (64, 64)).astype("int32")
+                Image.fromarray(raw).save(im_dir / f"{organ}_{i}.png")
+                Image.fromarray(lab, mode="I").save(lb_dir / f"{organ}_{i}.tif")
+
+        raw_paths, label_paths = get_nuinsseg_paths(str(tmp_path))
+        assert len(raw_paths) == len(label_paths) == 4
+
+        loader = get_nuinsseg_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_srsanet_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.histopathology.srsanet import (
+            _preprocess_labels, get_srsanet_loader, get_srsanet_paths)
+
+        rng = np.random.default_rng(75)
+        from PIL import Image
+
+        data_dir = tmp_path / "IHC_TMA_dataset"
+        (data_dir / "images").mkdir(parents=True)
+        (data_dir / "masks").mkdir()
+        for fold in ("fold1", "fold2"):
+            for i in range(2):
+                raw = (rng.random((64, 64, 3)) * 255).astype("uint8")
+                Image.fromarray(raw).save(data_dir / "images" / f"{fold}_{i}.png")
+                # two binary channels: positive / negative nuclei
+                mask = np.zeros((2, 64, 64), dtype="uint8")
+                mask[0, 5:15, 5:15] = 1
+                mask[1, 30:40, 30:40] = 1
+                np.save(data_dir / "masks" / f"{fold}_{i}.npy", mask)
+        _preprocess_labels(str(data_dir))
+
+        raw_paths, label_paths = get_srsanet_paths(str(tmp_path), split="train")
+        assert len(raw_paths) == len(label_paths) == 2
+
+        loader = get_srsanet_loader(str(tmp_path), patch_shape=(64, 64), batch_size=2,
+                                    split="train", boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 64, 64)
+        assert y.shape == (2, 2, 64, 64)  # binary fg + boundaries
+
+    def test_janowczyk_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.histopathology.janowczyk import (
+            get_janowczyk_loader, get_janowczyk_paths)
+
+        rng = np.random.default_rng(76)
+        # tubule annotation set: flat dir of image.tif + image_anno.bmp pairs
+        data_dir = tmp_path / "data" / "tubule"
+        data_dir.mkdir(parents=True)
+        for i in range(2):
+            raw = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            lab = (rng.random((64, 64)) > 0.5).astype("uint8") * 255
+            Image.fromarray(raw).save(data_dir / f"im{i}.bmp")
+            Image.fromarray(lab).save(data_dir / f"im{i}_anno.bmp")
+
+        raw_paths, label_paths = get_janowczyk_paths(str(tmp_path), annotation="tubule")
+        assert len(raw_paths) == len(label_paths) == 2
+        assert not any("_anno" in p for p in raw_paths)
+
+        loader = get_janowczyk_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                      annotation="tubule")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
