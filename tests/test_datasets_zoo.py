@@ -2229,3 +2229,169 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (2, 3, 32, 32)
         assert y.shape[-2:] == (32, 32)
+
+    def test_cytodark0_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.histopathology.cytodark0 import (
+            _preprocess_images, get_cytodark0_loader, get_cytodark0_paths)
+
+        rng = np.random.default_rng(77)
+        raw_root = tmp_path / "cytoDArk0"
+        for mag, res in (("20x", "1024x1024"), ("40x", "2048x2048")):
+            base = raw_root / mag / res
+            for sub in ("image", "label", "graymask4"):
+                (base / sub).mkdir(parents=True)
+            rows = ["img_id,fold"]
+            for i, fold in enumerate((0, 1, 2)):
+                name = f"{mag}_im{i}"
+                raw = (rng.random((64, 64, 3)) * 255).astype("uint8")
+                Image.fromarray(raw).save(base / "image" / f"{name}.png")
+                Image.fromarray(rng.integers(0, 4, (64, 64)).astype("int32"),
+                                mode="I").save(base / "label" / f"{name}.tiff")
+                Image.fromarray(rng.integers(0, 3, (64, 64)).astype("uint8")
+                                ).save(base / "graymask4" / f"{name}.png")
+                rows.append(f"{name},{fold}")
+            (base / "folds.csv").write_text("\n".join(rows) + "\n")
+        _preprocess_images(str(tmp_path), str(raw_root))
+
+        paths = get_cytodark0_paths(str(tmp_path), split="train")
+        assert len(paths) == 2  # one 20x + one 40x image in fold 0
+        paths_20x = get_cytodark0_paths(str(tmp_path), split="train", magnification="20x")
+        assert len(paths_20x) == 1
+
+        loader = get_cytodark0_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                      split="train", label_choice="instances")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_monusac_layout(self, tmp_path):
+        import zipfile
+
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.histopathology.monusac import (
+            get_monusac_loader, get_monusac_paths)
+
+        rng = np.random.default_rng(78)
+        xml = """<?xml version="1.0"?>
+        <Annotations><Annotation><Regions><Region>
+            <Vertices>
+                <Vertex X="4" Y="4"/><Vertex X="20" Y="4"/>
+                <Vertex X="20" Y="20"/><Vertex X="4" Y="20"/>
+            </Vertices>
+        </Region></Regions></Annotation></Annotations>"""
+        # the raw challenge layout: per-patient folders of tif + xml in a zip
+        src = tmp_path / "src"
+        for patient in ("TCGA-55-1594-01Z-00-DX1", "TCGA-5P-A9K0-01Z-00-DX1"):
+            pdir = src / "MoNuSAC_images_and_annotations" / patient
+            pdir.mkdir(parents=True)
+            raw = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            Image.fromarray(raw).save(pdir / f"{patient}_1.tif")
+            (pdir / f"{patient}_1.xml").write_text(xml)
+        with zipfile.ZipFile(tmp_path / "monusac_train.zip", "w") as zf:
+            for p in sorted(src.rglob("*")):
+                if p.is_file():
+                    zf.write(p, p.relative_to(src))
+
+        image_paths, label_paths = get_monusac_paths(str(tmp_path), split="train")
+        assert len(image_paths) == len(label_paths) == 2
+        # organ filtering by the published patient lists
+        lung_im, _ = get_monusac_paths(str(tmp_path), split="train", organ_type=["lung"])
+        assert len(lung_im) == 1 and "TCGA-55-1594" in lung_im[0]
+
+        loader = get_monusac_loader(str(tmp_path), patch_shape=(64, 64), batch_size=2,
+                                    split="train", binary=True)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 64, 64)
+        assert y.shape == (2, 1, 64, 64)
+        assert y.max() == 1  # the rasterized xml rectangle
+
+    def test_panoptils_layout(self, tmp_path):
+        from io import BytesIO
+
+        import pandas as pd
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.histopathology.panoptils import (
+            get_panoptils_loader, get_panoptils_paths)
+
+        rng = np.random.default_rng(79)
+
+        def _png(arr, mode=None):
+            buf = BytesIO()
+            Image.fromarray(arr, mode=mode).save(buf, format="PNG")
+            return buf.getvalue()
+
+        rows = []
+        for _ in range(2):
+            img = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            inst = np.zeros((64, 64), dtype="int32")
+            inst[5:15, 5:15] = 1
+            inst[30:40, 30:40] = 2
+            ntype = (inst > 0).astype("uint8")
+            sem = rng.integers(0, 3, (64, 64)).astype("uint8")
+            rows.append({"image": _png(img), "inst": _png(inst, mode="I"),
+                         "type": _png(ntype), "sem": _png(sem)})
+        pd.DataFrame(rows).to_parquet(tmp_path / "panoptils_refined.parquet")
+
+        image_paths, label_paths = get_panoptils_paths(str(tmp_path), "instances")
+        assert len(image_paths) == len(label_paths) == 2
+        for choice in ("type", "semantic"):
+            ip, lp = get_panoptils_paths(str(tmp_path), choice)
+            assert len(ip) == len(lp) == 2
+
+        loader = get_panoptils_loader(str(tmp_path), patch_shape=(64, 64), batch_size=2,
+                                      label_choice="instances")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 64, 64)
+        assert y.shape[0] == 2 and y.shape[-2:] == (64, 64)
+
+    def test_orion_crc_layout(self, tmp_path):
+        import h5py
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.histopathology.orion_crc import (
+            get_orion_crc_loader, get_orion_crc_paths)
+
+        rng = np.random.default_rng(80)
+        tiles = tmp_path / "tiles"
+        tiles.mkdir()
+        meta_rows = ["slide_name,image_path,target_path,nuclei_path"]
+        for t, (ox, oy) in enumerate(((100, 200), (164, 200))):
+            stem = f"slideA_{ox}_{oy}_0_64_64"
+            he = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            mif = (rng.random((64, 64)) * 255).astype("uint8")
+            nuclei = np.zeros((64, 64), dtype="uint16")
+            nuclei[3:8, 3:8] = 1
+            nuclei[20:30, 20:30] = 2
+            Image.fromarray(he).save(tiles / f"{stem}_he.png")
+            Image.fromarray(mif).save(tiles / f"{stem}_mif.png")
+            Image.fromarray(nuclei).save(tiles / f"{stem}_nuclei.png")
+            meta_rows.append(f"slideA.ome.tiff,tiles/{stem}_he.png,"
+                             f"tiles/{stem}_mif.png,tiles/{stem}_nuclei.png")
+        for split in ("train", "val", "test"):
+            (tmp_path / f"{split}_dataframe.csv").write_text("\n".join(meta_rows) + "\n")
+        # per-slide cell table -> semantic labels (cell at tile-local (5, 5))
+        (tmp_path / "cells_slideA.csv").write_text(
+            "cell_type,x,y\ntumor,105,205\nlymphocyte,125,225\n")
+        (tmp_path / "slide_dataframe.csv").write_text(
+            "slide_name,orion_slide_id,nuclei_csv_path\n"
+            "slideA.ome.tiff,slideA,cells_slideA.csv\n")
+
+        paths = get_orion_crc_paths(str(tmp_path), split="train")
+        assert len(paths) == 1 and paths[0].endswith("slideA.h5")
+        with h5py.File(paths[0], "r") as f:
+            assert f["raw/he"].shape == (3, 2, 64, 64)
+            assert f["raw/mif"].shape == (1, 2, 64, 64)
+            assert f["labels/nucleus/instances"].shape == (2, 64, 64)
+            sem = f["labels/nucleus/semantic"][:]
+        # instance 1 got 'tumor' (id 2 alphabetically after lymphocyte=1)
+        assert sem[0, 5, 5] == 2 and sem[0, 25, 25] == 1
+
+        loader = get_orion_crc_loader(str(tmp_path), batch_size=2, patch_shape=(32, 32),
+                                      split="train", modality="he", label_type="instances")
+        x, y = next(iter(loader))
+        assert x.shape[0] == 2 and x.shape[1] == 3 and x.shape[-2:] == (32, 32)
+        assert y.shape[-2:] == (32, 32)
