@@ -2395,3 +2395,159 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape[0] == 2 and x.shape[1] == 3 and x.shape[-2:] == (32, 32)
         assert y.shape[-2:] == (32, 32)
+
+    def test_puma_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.histopathology.puma import (
+            _split_sample_ids, get_puma_loader, get_puma_paths)
+
+        rng = np.random.default_rng(81)
+        # the preprocessed layout get_puma_data produces (the geojson
+        # rasterization itself needs geopandas/rasterio, absent here)
+        pre = tmp_path / "train" / "preprocessed"
+        pre.mkdir(parents=True)
+        for i in range(2):
+            with h5py.File(pre / f"training_set_metastatic_roi_{i:03d}.h5", "w") as f:
+                f.create_dataset("raw", data=(rng.random((3, 64, 64)) * 255).astype("uint8"))
+                f.create_dataset("labels/instances/nuclei",
+                                 data=rng.integers(0, 6, (64, 64)).astype("int32"))
+                f.create_dataset("labels/semantic/nuclei",
+                                 data=rng.integers(0, 10, (64, 64)).astype("uint8"))
+
+        paths = get_puma_paths(str(tmp_path), split="train", annotations="nuclei")
+        assert len(paths) == 2
+
+        loader = get_puma_loader(str(tmp_path), batch_size=2, patch_shape=(32, 32),
+                                 split="train", annotations="nuclei",
+                                 label_choice="instances")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+        # the published 80/20 + 15% split proportions
+        train, val, test = _split_sample_ids([f"s{i}" for i in range(20)],
+                                             np.random.RandomState(0))
+        assert len(test) == 4 and len(val) == 2 and len(train) == 14
+
+    def test_segpath_layout(self, tmp_path):
+        import tarfile
+
+        import h5py
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.histopathology.segpath import (
+            _extract_data, get_segpath_loader, get_segpath_paths)
+
+        rng = np.random.default_rng(82)
+        # raw release layout: <dataset>/<name>_HE.png + <name>_mask.png in a tar
+        src = tmp_path / "src" / "panCK_Epithelium"
+        src.mkdir(parents=True)
+        names = ["caseA_0", "caseB_0", "caseC_0"]
+        for name in names:
+            raw = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            mask = (rng.random((64, 64)) > 0.5).astype("uint8")
+            Image.fromarray(raw).save(src / f"{name}_HE.png")
+            Image.fromarray(mask).save(src / f"{name}_mask.png")
+        tar_path = tmp_path / "panCK_Epithelium.tar.gz"
+        with tarfile.open(tar_path, "w:gz") as tf:
+            tf.add(src, arcname="panCK_Epithelium")
+        _extract_data(tar_path, tmp_path / "panCK_Epithelium")
+        assert not tar_path.exists()  # consumed
+
+        h5_paths = sorted((tmp_path / "panCK_Epithelium" / "data").glob("*.h5"))
+        assert len(h5_paths) == 3
+        with h5py.File(h5_paths[0], "r") as f:
+            assert f["images/raw"].shape == (3, 64, 64)
+            assert f["labels/mask"].shape == (64, 64)
+
+        # fileinfo csv drives the split selection
+        (tmp_path / "panCK_fileinfo.csv").write_text(
+            "filename,train_val_test\n"
+            "caseA_0_HE.png,train\ncaseB_0_HE.png,train\ncaseC_0_HE.png,val\n")
+        train_paths = get_segpath_paths(str(tmp_path), "epithelium", split="train")
+        assert len(train_paths) == 2
+        all_paths = get_segpath_paths(str(tmp_path), "epithelium")
+        assert len(all_paths) == 3
+
+        loader = get_segpath_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                    cell_types="epithelium", split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_pcns_layout(self, tmp_path):
+        import tarfile
+
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.histopathology.pcns import (
+            get_pcns_loader, get_pcns_paths)
+
+        rng = np.random.default_rng(83)
+        # the manual tarball: <type>/<patch_id>_crop.png + corrected/common masks
+        src = tmp_path / "src"
+        for pid, ct in ((1, "blca"), (2, "brca"), (3, "blca"), (4, "brca"), (5, "blca")):
+            d = src / ct
+            d.mkdir(parents=True, exist_ok=True)
+            raw = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            Image.fromarray(raw).save(d / f"{pid}_crop.png")
+            mask = rng.integers(0, 4, (64, 64)).astype("int32")
+            Image.fromarray(mask, mode="I").save(d / f"{pid}_labeled_mask_corrected.png")
+            Image.fromarray((mask > 0).astype("int32"), mode="I").save(
+                d / f"{pid}_labeled_mask_common0.png")
+        with tarfile.open(tmp_path / "manual_segmentation_data.tar.gz", "w:gz") as tf:
+            tf.add(src, arcname="manual_segmentation_data")
+        # pre-seeded crosswalk readme (header prose, then the csv table)
+        (tmp_path / "pcns_crosswalk.txt").write_text(
+            "Pan-Cancer-Nuclei-Seg crosswalk\n\n"
+            "Patch-ID,CancerType\n1,BLCA\n2,BRCA\n3,BLCA\n4,BRCA\n5,BLCA\n")
+
+        train_paths = get_pcns_paths(str(tmp_path), split="train")
+        test_paths = get_pcns_paths(str(tmp_path), split="test")
+        assert len(train_paths) == 4 and len(test_paths) == 1
+        blca = get_pcns_paths(str(tmp_path), split="train", cancer_type="blca")
+        assert all(p.endswith((f"{i}.h5")) for i, p in zip((1, 3, 5), blca)) or len(blca) >= 1
+
+        loader = get_pcns_loader(str(tmp_path), batch_size=2, patch_shape=(32, 32),
+                                 split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_hest_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.histopathology.hest import (
+            LABEL_KEYS, _cell_type_to_category, get_hest_loader, get_hest_paths)
+
+        rng = np.random.default_rng(84)
+        # per-slide preprocessed h5s: raw patches + three label modalities
+        pre = tmp_path / "preprocessed"
+        pre.mkdir()
+        for sid in ("TENX24", "NCBI55"):
+            with h5py.File(pre / f"{sid}.h5", "w") as f:
+                f.create_dataset("raw", data=(rng.random((3, 3, 32, 32)) * 255).astype("uint8"))
+                for key in LABEL_KEYS.values():
+                    f.create_dataset(key, data=rng.integers(0, 5, (3, 32, 32)).astype("int32"))
+        (tmp_path / "HEST_v1_3_0.csv").write_text(
+            "id,organ,pixel_size_um_estimated\nTENX24,Breast,0.5\nNCBI55,Lung,0.5\n")
+
+        paths = get_hest_paths(str(tmp_path))
+        assert len(paths) == 2
+        breast = get_hest_paths(str(tmp_path), organs=["Breast"])
+        assert len(breast) == 1 and breast[0].endswith("TENX24.h5")
+
+        for label_choice in ("instances", "xenium_instances", "semantic"):
+            loader = get_hest_loader(str(tmp_path), batch_size=2, patch_shape=(32, 32),
+                                     label_choice=label_choice)
+            x, y = next(iter(loader))
+            assert x.shape == (2, 3, 32, 32)
+            assert float(x.max()) <= 1.0  # raw is rescaled to [0, 1]
+            assert y.shape == (2, 32, 32)
+
+        # marker-keyword category mapping
+        assert _cell_type_to_category("Alveolar macrophages") == "Inflammatory"
+        assert _cell_type_to_category("Hepatocytes") == "Epithelial"
+        assert _cell_type_to_category("Fibroblasts") == "Connective"
+        assert _cell_type_to_category("Unicorn cells") == "Unknown"
