@@ -2551,3 +2551,169 @@ class TestZooLayouts:
         assert _cell_type_to_category("Hepatocytes") == "Epithelial"
         assert _cell_type_to_category("Fibroblasts") == "Connective"
         assert _cell_type_to_category("Unicorn cells") == "Unknown"
+
+    def test_bbbc034_layout(self, tmp_path):
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.bbbc034 import (
+            get_bbbc034_loader, get_bbbc034_paths)
+
+        rng = np.random.default_rng(85)
+        data_dir = tmp_path / "BBBC034"
+        data_dir.mkdir()
+        for c in range(4):
+            iio.imwrite(data_dir / f"stack_C={c}.tif",
+                             (rng.random((8, 64, 64)) * 65535).astype("uint16"))
+        iio.imwrite(data_dir / "ground_truth_segmented.tif",
+                         rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+
+        raw_paths, label_paths = get_bbbc034_paths(str(tmp_path), channel=2)
+        assert len(raw_paths) == 1 and raw_paths[0].endswith("C=2.tif")
+        assert len(label_paths) == 1
+
+        loader = get_bbbc034_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_bitdepth_nucseg_layout(self, tmp_path):
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.bitdepth_nucseg import (
+            get_bitdepth_nucseg_loader, get_bitdepth_nucseg_paths)
+
+        rng = np.random.default_rng(86)
+        for mag in ("20x", "40x"):
+            im_dir = tmp_path / "data" / mag / "images_16bit"
+            lb_dir = tmp_path / "data" / mag / "label masks"
+            im_dir.mkdir(parents=True)
+            lb_dir.mkdir(parents=True)
+            for i in range(2):
+                iio.imwrite(im_dir / f"im{i}.tif",
+                                 (rng.random((64, 64)) * 65535).astype("uint16"))
+                iio.imwrite(lb_dir / f"im{i}.tif",
+                                 rng.integers(0, 4, (64, 64)).astype("uint16"))
+
+        raw_paths, label_paths = get_bitdepth_nucseg_paths(str(tmp_path))
+        assert len(raw_paths) == len(label_paths) == 4
+        raw_20x, _ = get_bitdepth_nucseg_paths(str(tmp_path), magnification="20x")
+        assert len(raw_20x) == 2
+
+        loader = get_bitdepth_nucseg_loader(str(tmp_path), patch_shape=(32, 32),
+                                            batch_size=2, magnification="20x")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_bac_mother_layout(self, tmp_path):
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.bac_mother import (
+            get_bac_mother_loader, get_bac_mother_paths)
+
+        rng = np.random.default_rng(87)
+        # CTC layout: <seq>/t<idx>.tif + <seq>_GT/SEG/man_seg<idx>.tif
+        for seq in ("01", "02"):
+            seq_dir = tmp_path / "CTC" / "train" / seq
+            gt_dir = tmp_path / "CTC" / "train" / f"{seq}_GT" / "SEG"
+            seq_dir.mkdir(parents=True)
+            gt_dir.mkdir(parents=True)
+            for t in range(2):
+                iio.imwrite(seq_dir / f"t{t:03d}.tif",
+                                 (rng.random((64, 64)) * 255).astype("uint8"))
+                iio.imwrite(gt_dir / f"man_seg{t:03d}.tif",
+                                 rng.integers(0, 4, (64, 64)).astype("uint16"))
+
+        raw_paths, label_paths = get_bac_mother_paths(str(tmp_path), split="train")
+        assert len(raw_paths) == len(label_paths) == 4
+
+        loader = get_bac_mother_loader(str(tmp_path), patch_shape=(64, 64), batch_size=2,
+                                       split="train", binary=True)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 64, 64)
+        assert y.shape == (2, 1, 64, 64)
+
+    def test_cartocell_layout(self, tmp_path):
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.cartocell import (
+            get_cartocell_loader, get_cartocell_paths)
+
+        rng = np.random.default_rng(88)
+        for name, split in (("MDCK-Normoxia", "train"), ("hMSC", "test")):
+            raw_dir = tmp_path / "data" / f"low-resolution_{name}_{split}_raw_images"
+            lab_dir = tmp_path / "data" / f"low-resolution_{name}_{split}_label_images"
+            raw_dir.mkdir(parents=True)
+            lab_dir.mkdir(parents=True)
+            for i in range(2):
+                iio.imwrite(raw_dir / f"cyst_{i}.tif",
+                                 (rng.random((8, 64, 64)) * 255).astype("uint8"))
+                iio.imwrite(lab_dir / f"cyst_{i}.tif",
+                                 rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+
+        raw_paths, label_paths = get_cartocell_paths(str(tmp_path))
+        assert len(raw_paths) == len(label_paths) == 4
+        train_raw, _ = get_cartocell_paths(str(tmp_path), split="train")
+        assert len(train_raw) == 2
+
+        loader = get_cartocell_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                      batch_size=1, split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_blastospim_layout(self, tmp_path):
+        import gzip
+
+        from torch_em_tpu.data.datasets.light_microscopy.blastospim import (
+            _preprocess_inputs, get_blastospim_loader, get_blastospim_paths)
+
+        rng = np.random.default_rng(89)
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        for i in range(2):
+            raw = (rng.random((8, 64, 64)) * 255).astype("float32")
+            labels = rng.integers(0, 5, (8, 64, 64)).astype("uint16")
+            for tag, arr in (("image", raw), ("masks", labels)):
+                buf = gzip.open(data_dir / f"F{i}_{tag}_0.npy.gz", "wb")
+                np.save(buf, arr)
+                buf.close()
+        _preprocess_inputs(str(data_dir))
+
+        paths = get_blastospim_paths(str(tmp_path))
+        assert len(paths) == 2 and all(p.endswith(".h5") for p in paths)
+
+        loader = get_blastospim_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                       batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_brifiseg_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.light_microscopy.brifiseg import (
+            _preprocess, get_brifiseg_loader, get_brifiseg_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(90)
+        # the nnUNet-style task layout in the 1channel tarball
+        task = tmp_path / "1channel" / "Task501_A549"
+        for sub, lab_sub, n in (("imagesTr", "labelsTr", 2), ("imagesTs", "labelsTs", 1)):
+            (task / sub).mkdir(parents=True)
+            (task / lab_sub).mkdir(parents=True)
+            for i in range(n):
+                name = f"{sub[-2:].lower()}_case{i}"
+                save_nifti(str(task / sub / f"{name}_0000.nii.gz"),
+                           (rng.random((64, 64)) * 255).astype("float32"))
+                save_nifti(str(task / lab_sub / f"{name}.nii.gz"),
+                           rng.integers(0, 3, (64, 64)).astype("uint8"))
+        _preprocess(str(tmp_path), str(tmp_path / "data"))
+
+        train_paths = get_brifiseg_paths(str(tmp_path), split="train")
+        test_paths = get_brifiseg_paths(str(tmp_path), split="test")
+        assert len(train_paths) == 2 and len(test_paths) == 1
+
+        loader = get_brifiseg_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                     split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
