@@ -2717,3 +2717,136 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (2, 1, 32, 32)
         assert y.shape[-2:] == (32, 32)
+
+    def test_aisegcell_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.aisegcell import (
+            _preprocess_data, get_aisegcell_loader, get_aisegcell_paths)
+
+        rng = np.random.default_rng(91)
+        base = tmp_path / "aiSEGcell_nucleus"
+        for dname, split in (("exp1", "train"), ("exp1", "val")):
+            for sub in ("brightfield", "nucleus", "masks"):
+                d = base / dname / f"set_{split}" / sub
+                d.mkdir(parents=True)
+                for i in range(2):
+                    if sub == "masks":
+                        arr = np.zeros((64, 64), dtype="uint8")
+                        arr[10:20, 10:20] = 255
+                        arr[40:50, 40:50] = 255
+                        Image.fromarray(arr).save(d / f"im{i}.png")
+                    else:
+                        Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                                        ).save(d / f"im{i}.png")
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        _preprocess_data(str(data_dir), str(base))
+
+        paths = get_aisegcell_paths(str(tmp_path), split="train")
+        assert len(paths) == 2
+
+        loader = get_aisegcell_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                      split="train", raw_channel="brightfield")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_arvidsson_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.arvidsson import (
+            _rgb_to_instances, get_arvidsson_loader, get_arvidsson_paths)
+
+        rng = np.random.default_rng(92)
+        data_dir = tmp_path / "training_nuclei"
+        (data_dir / "images").mkdir(parents=True)
+        (data_dir / "annotations").mkdir()
+        for i in range(2):
+            Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                            ).save(data_dir / "images" / f"im{i}.png")
+            # RGB-coded instances: two colors + black background
+            ann = np.zeros((64, 64, 3), dtype="uint8")
+            ann[5:15, 5:15] = (255, 0, 0)
+            ann[30:40, 30:40] = (0, 255, 0)
+            Image.fromarray(ann).save(data_dir / "annotations" / f"im{i}.png")
+
+        raw_paths, label_paths = get_arvidsson_paths(str(tmp_path), split="train")
+        assert len(raw_paths) == len(label_paths) == 2
+        assert all(p.endswith("_preprocessed.tif") for p in label_paths)
+
+        inst = _rgb_to_instances(ann)
+        assert set(np.unique(inst)) == {0, 1, 2}
+
+        loader = get_arvidsson_loader(str(tmp_path), patch_shape=(64, 64), batch_size=2,
+                                      split="train", binary=True)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 64, 64)
+        assert y.shape == (2, 1, 64, 64)
+        assert y.max() == 1
+
+    def test_balf_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.balf import (
+            get_balf_loader, get_balf_paths)
+
+        rng = np.random.default_rng(93)
+        (tmp_path / "images" / "train").mkdir(parents=True)
+        (tmp_path / "labels" / "train").mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray((rng.random((64, 64, 3)) * 255).astype("uint8")
+                            ).save(tmp_path / "images" / "train" / f"im{i}.jpg")
+            # YOLO polygon lines: class_id x1 y1 x2 y2 ... (normalized)
+            (tmp_path / "labels" / "train" / f"im{i}.txt").write_text(
+                "0 0.1 0.1 0.4 0.1 0.4 0.4 0.1 0.4\n"
+                "3 0.5 0.5 0.9 0.5 0.9 0.9 0.5 0.9\n")
+
+        paths = get_balf_paths(str(tmp_path), split="train")
+        assert len(paths) == 2
+        import h5py
+        with h5py.File(paths[0], "r") as f:
+            inst = f["labels/instances"][:]
+            sem = f["labels/semantic"][:]
+        assert inst.max() == 2  # two polygons -> two instances
+        assert set(np.unique(sem)) == {0, 1, 4}  # class ids + 1
+
+        loader = get_balf_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                 split="train", label_choice="semantic")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_bbbc030_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.bbbc030 import (
+            _preprocess, get_bbbc030_loader, get_bbbc030_paths)
+
+        rng = np.random.default_rng(94)
+        (tmp_path / "images").mkdir()
+        (tmp_path / "ground_truth").mkdir()
+        for i in range(2):
+            Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                            ).save(tmp_path / "images" / f"im{i}.png")
+            # hand-drawn closed contour around one cell
+            contour = np.zeros((64, 64), dtype="uint8")
+            contour[20, 20:40] = 255
+            contour[40, 20:40] = 255
+            contour[20:41, 20] = 255
+            contour[20:41, 40] = 255
+            Image.fromarray(contour).save(tmp_path / "ground_truth" / f"im{i}.png")
+        _preprocess(str(tmp_path))
+
+        paths = get_bbbc030_paths(str(tmp_path))
+        assert len(paths) == 2
+        import h5py
+        with h5py.File(paths[0], "r") as f:
+            labels = f["labels"][:]
+        assert labels.max() >= 1  # the enclosed interior became an instance
+        assert labels[30, 30] > 0
+
+        loader = get_bbbc030_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
