@@ -2850,3 +2850,144 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (2, 1, 32, 32)
         assert y.shape[-2:] == (32, 32)
+
+    def test_celegans_atlas_layout(self, tmp_path):
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.celegans_atlas import (
+            get_celegans_atlas_loader, get_celegans_atlas_paths)
+
+        rng = np.random.default_rng(95)
+        for split in ("train", "val"):
+            im_dir = tmp_path / "c_elegans_nuclei" / split / "images"
+            lb_dir = tmp_path / "c_elegans_nuclei" / split / "masks"
+            im_dir.mkdir(parents=True)
+            lb_dir.mkdir(parents=True)
+            for i in range(2):
+                iio.imwrite(im_dir / f"v{i}.tif",
+                            (rng.random((8, 64, 64)) * 255).astype("uint8"))
+                iio.imwrite(lb_dir / f"v{i}.tif",
+                            rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+
+        raw_paths, label_paths = get_celegans_atlas_paths(str(tmp_path), split="train")
+        assert len(raw_paths) == len(label_paths) == 2
+
+        loader = get_celegans_atlas_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                           batch_size=1, split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_cellbindb_layout(self, tmp_path):
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.cellbindb import (
+            get_cellbindb_loader, get_cellbindb_paths)
+
+        rng = np.random.default_rng(96)
+        for choice in ("DAPI", "ssDNA"):
+            for sample in ("s1",):
+                d = tmp_path / "Other" / choice / sample
+                d.mkdir(parents=True)
+                iio.imwrite(d / f"{sample}-img.tif",
+                            (rng.random((64, 64)) * 255).astype("uint8"))
+                iio.imwrite(d / f"{sample}-instancemask.tif",
+                            rng.integers(0, 4, (64, 64)).astype("uint16"))
+
+        raw_paths, label_paths = get_cellbindb_paths(str(tmp_path))
+        assert len(raw_paths) == len(label_paths) == 2
+        dapi_raw, _ = get_cellbindb_paths(str(tmp_path), data_choice="DAPI")
+        assert len(dapi_raw) == 1
+
+        loader = get_cellbindb_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                      data_choice=["DAPI", "ssDNA"])
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_cellseg_3d_layout(self, tmp_path):
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.cellseg_3d import (
+            get_cellseg_3d_loader, get_cellseg_3d_paths)
+
+        rng = np.random.default_rng(97)
+        root = tmp_path / "DATASET_WITH_GT"
+        (root / "labels").mkdir(parents=True)
+        for i in range(3):
+            iio.imwrite(root / f"vol{i}.tif",
+                        (rng.random((8, 64, 64)) * 65535).astype("uint16"))
+            iio.imwrite(root / "labels" / f"vol{i}.tif",
+                        rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+
+        raw_paths, label_paths = get_cellseg_3d_paths(str(tmp_path))
+        assert len(raw_paths) == len(label_paths) == 3
+
+        loader = get_cellseg_3d_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                       batch_size=1, sample_ids=(0, 2))
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_cisd_layout(self, tmp_path):
+        import json
+
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.cisd import (
+            _decode_rle, get_cisd_loader, get_cisd_paths)
+
+        rng = np.random.default_rng(98)
+        data_dir = tmp_path / "CISD"
+        (data_dir / "center_slice").mkdir(parents=True)
+        assets = []
+        for i in range(2):
+            name = f"im{i}.jpg"
+            raw = (rng.random((32, 32, 3)) * 255).astype("uint8")
+            Image.fromarray(raw).save(data_dir / "center_slice" / name)
+            # one RLE instance: 100 zeros, 50 ones, rest zeros (row-major)
+            assets.append({
+                "file_name": name,
+                "annotations": [{"data": [{"mask": {
+                    "size": [32, 32], "counts": [100, 50, 32 * 32 - 150]}}]}],
+            })
+        (data_dir / "CISD.json").write_text(json.dumps({"assets": assets}))
+
+        mask = _decode_rle([100, 50, 32 * 32 - 150], 32, 32)
+        assert mask.sum() == 50
+
+        raw_paths, label_paths = get_cisd_paths(str(tmp_path), mode="center_slice")
+        assert len(raw_paths) == len(label_paths) == 2
+
+        loader = get_cisd_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                 mode="center_slice")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)  # converted to grayscale
+        assert y.shape[-2:] == (32, 32)
+        assert y.max() == 1
+
+    def test_cshaper_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.light_microscopy.cshaper import (
+            _ZIP_ROOT, get_cshaper_loader, get_cshaper_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(99)
+        data_dir = tmp_path / _ZIP_ROOT
+        for split_subdir in ("TrainingData",):
+            sample = data_dir / split_subdir / "Sample01"
+            (sample / "RawMemb").mkdir(parents=True)
+            (sample / "SegCell").mkdir()
+            for t in range(2):
+                save_nifti(str(sample / "RawMemb" / f"Sample01_{t:03d}_rawMemb.nii.gz"),
+                           (rng.random((8, 32, 32)) * 255).astype("float32"))
+                save_nifti(str(sample / "SegCell" / f"Sample01_{t:03d}_segCell.nii.gz"),
+                           rng.integers(0, 5, (8, 32, 32)).astype("int16"))
+
+        paths = get_cshaper_paths(str(tmp_path), split="train")
+        assert len(paths) == 2
+
+        loader = get_cshaper_loader(str(tmp_path), patch_shape=(4, 16, 16),
+                                    batch_size=1, split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 16, 16)
+        assert y.shape[-3:] == (4, 16, 16)
