@@ -2991,3 +2991,94 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 16, 16)
         assert y.shape[-3:] == (4, 16, 16)
+
+    def test_cvz_fluo_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.cvz_fluo import (
+            get_cvz_fluo_loader, get_cvz_fluo_paths)
+
+        rng = np.random.default_rng(100)
+        (tmp_path / "Annotation Panel Table.xlsx").write_bytes(b"stub")
+        for platform, sample in (("CODEX", "reg1"), ("Vectra", "reg2")):
+            d = tmp_path / platform / sample
+            d.mkdir(parents=True)
+            for stain in ("Cell", "Dapi"):
+                raw = (rng.random((64, 64, 3)) * 255).astype("uint8")
+                Image.fromarray(raw).save(d / f"{sample}-Crop_{stain}_Png.png")
+                mask = np.zeros((64, 64), dtype="uint8")
+                mask[8:18, 8:18] = 1
+                mask[30:42, 30:42] = 1
+                Image.fromarray(mask).save(d / f"{sample}-Crop_{stain}_Mask_Png.png")
+
+        raw_paths, label_paths = get_cvz_fluo_paths(str(tmp_path), stain_choice="cell")
+        assert len(raw_paths) == len(label_paths) == 2
+        assert all(p.endswith(".tif") for p in label_paths)  # cc-preprocessed
+        codex_raw, _ = get_cvz_fluo_paths(str(tmp_path), stain_choice="dapi",
+                                          data_choice="CODEX")
+        assert len(codex_raw) == 1
+
+        loader = get_cvz_fluo_loader(str(tmp_path), patch_shape=(64, 64), batch_size=2,
+                                     stain_choice="cell")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 64, 64)
+        assert y.max() == 2  # two separated squares -> two instances
+
+    def test_deepseas_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.deepseas import (
+            get_deepseas_loader, get_deepseas_paths)
+
+        rng = np.random.default_rng(101)
+        data_dir = tmp_path / "segmentation_dataset" / "train"
+        (data_dir / "images").mkdir(parents=True)
+        (data_dir / "masks").mkdir()
+        for i in range(3):
+            Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                            ).save(data_dir / "images" / f"im{i}.png")
+            Image.fromarray(rng.integers(0, 4, (64, 64)).astype("uint8")
+                            ).save(data_dir / "masks" / f"im{i}.png")
+
+        raw_paths, label_paths = get_deepseas_paths(str(tmp_path), split="train")
+        assert len(raw_paths) == len(label_paths) == 3
+
+        loader = get_deepseas_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                     split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_dic_hepg2_layout(self, tmp_path):
+        import json
+
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.dic_hepg2 import (
+            get_dic_hepg2_loader, get_dic_hepg2_paths)
+
+        rng = np.random.default_rng(102)
+        base = tmp_path / "2021-11-15_HepG2_Calcein_AM" / "coco_format" / "train"
+        (base / "images").mkdir(parents=True)
+        images, annotations = [], []
+        for i in range(2):
+            fname = f"im{i}.png"
+            Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                            ).save(base / "images" / fname)
+            images.append({"id": i, "file_name": fname, "height": 64, "width": 64})
+            annotations.append({
+                "id": i, "image_id": i, "iscrowd": 0, "area": 400,
+                "segmentation": [[10, 10, 30, 10, 30, 30, 10, 30]],
+            })
+        (base / "annotations.json").write_text(
+            json.dumps({"images": images, "annotations": annotations}))
+
+        image_paths, gt_paths = get_dic_hepg2_paths(str(tmp_path), split="train")
+        assert len(image_paths) == len(gt_paths) == 2
+
+        loader = get_dic_hepg2_loader(str(tmp_path), patch_shape=(64, 64), batch_size=2,
+                                      split="train", binary=True)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 64, 64)
+        assert y.shape == (2, 1, 64, 64)
+        assert y.max() == 1  # the decoded COCO polygon
