@@ -3082,3 +3082,78 @@ class TestZooLayouts:
         assert x.shape == (2, 1, 64, 64)
         assert y.shape == (2, 1, 64, 64)
         assert y.max() == 1  # the decoded COCO polygon
+
+    def test_dynamicnuclearnet_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.light_microscopy.dynamicnuclearnet import (
+            get_dynamicnuclearnet_loader, get_dynamicnuclearnet_paths)
+
+        rng = np.random.default_rng(103)
+        npz_dir = tmp_path / "DynamicNuclearNet-segmentation-v1_0"
+        npz_dir.mkdir()
+        n = 3
+        np.savez(npz_dir / "train.npz",
+                 X=rng.random((n, 64, 64, 1)).astype("float32"),
+                 y=rng.integers(0, 5, (n, 64, 64, 1)).astype("int32"))
+
+        paths = get_dynamicnuclearnet_paths(str(tmp_path), split="train")
+        assert len(paths) == 3 and all(p.endswith(".zarr") for p in paths)
+        assert not (npz_dir / "train.npz").exists()  # consumed after conversion
+
+        loader = get_dynamicnuclearnet_loader(str(tmp_path), split="train",
+                                              patch_shape=(32, 32), batch_size=2)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_e11bio_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.light_microscopy.e11bio import (
+            get_e11bio_loader, get_e11bio_paths)
+
+        rng = np.random.default_rng(104)
+        # the cached-crop layout the S3 streaming produces
+        split_dir = tmp_path / "instance"
+        split_dir.mkdir()
+        for crop_id in range(2):
+            with h5py.File(split_dir / f"crop_{crop_id}.h5", "w") as f:
+                raw_grp = f.create_group("raw")
+                for ch in range(3):
+                    raw_grp.create_dataset(
+                        f"ch_{ch:02d}", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+                f.create_dataset("labels", data=rng.integers(0, 5, (8, 64, 64)).astype("uint32"))
+
+        paths = get_e11bio_paths(str(tmp_path), split="instance", crop_ids=[0, 1])
+        assert len(paths) == 2
+
+        loader = get_e11bio_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                   split="instance", crop_ids=[0, 1], channel=1,
+                                   boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape == (1, 1, 4, 32, 32)  # boundary channel
+
+    def test_embedseg_layout(self, tmp_path):
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.embedseg_data import (
+            get_embedseg_loader, get_embedseg_paths)
+
+        rng = np.random.default_rng(105)
+        name = "Mouse-Skull-Nuclei-CBG"
+        im_dir = tmp_path / name / "train" / "images"
+        lb_dir = tmp_path / name / "train" / "masks"
+        im_dir.mkdir(parents=True)
+        lb_dir.mkdir(parents=True)
+        for i in range(2):
+            iio.imwrite(im_dir / f"v{i}.tif", (rng.random((8, 64, 64)) * 255).astype("uint8"))
+            iio.imwrite(lb_dir / f"v{i}.tif", rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+
+        raw_paths, label_paths = get_embedseg_paths(str(tmp_path), name, split="train")
+        assert len(raw_paths) == len(label_paths) == 2
+
+        loader = get_embedseg_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                     name=name, split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
