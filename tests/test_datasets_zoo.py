@@ -3157,3 +3157,79 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
         assert y.shape[-3:] == (4, 32, 32)
+
+    def test_enseg_layout(self, tmp_path):
+        import base64
+        import json
+        from io import BytesIO
+
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.enseg import (
+            get_enseg_loader, get_enseg_paths)
+
+        rng = np.random.default_rng(106)
+        # LabelMe-style jsons with the image embedded as base64 png
+        for tag, sub in (("2C", "control"), ("22TW", "tumor")):
+            d = tmp_path / "data" / sub
+            d.mkdir(parents=True)
+            img = Image.fromarray((rng.random((64, 64, 3)) * 255).astype("uint8"))
+            buf = BytesIO()
+            img.save(buf, format="PNG")
+            (d / f"sample_{tag}.json").write_text(json.dumps({
+                "animalTag": tag,
+                "imageData": base64.b64encode(buf.getvalue()).decode(),
+                "imageHeight": 64, "imageWidth": 64,
+                "shapes": [{"points": [[10, 10], [30, 10], [30, 30], [10, 30]]},
+                           {"points": [[40, 40], [60, 40], [60, 60], [40, 60]]}],
+            }))
+
+        image_paths, seg_paths = get_enseg_paths(str(tmp_path))
+        assert len(image_paths) == len(seg_paths) == 2
+        control_im, _ = get_enseg_paths(str(tmp_path), animal_tags=["2C"])
+        assert len(control_im) == 1
+
+        loader = get_enseg_loader(str(tmp_path), patch_shape=(64, 64), batch_size=2)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 64, 64)
+        assert y.max() == 2  # two rasterized polygons
+
+    def test_evican_layout(self, tmp_path):
+        import json
+
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.evican import (
+            get_evican_loader, get_evican_paths)
+
+        rng = np.random.default_rng(107)
+        image_dir = tmp_path / "images" / "train"
+        image_dir.mkdir(parents=True)
+        (tmp_path / "annotations").mkdir()
+        images, annotations = [], []
+        for i in range(2):
+            fname = f"im{i}.jpg"
+            Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                            ).save(image_dir / fname)
+            images.append({"id": i, "file_name": fname, "height": 64, "width": 64})
+            # a cell and a nucleus annotation per image
+            annotations.append({"id": 2 * i, "image_id": i, "category_id": 1,
+                                "iscrowd": 0, "area": 400,
+                                "segmentation": [[10, 10, 30, 10, 30, 30, 10, 30]]})
+            annotations.append({"id": 2 * i + 1, "image_id": i, "category_id": 2,
+                                "iscrowd": 0, "area": 100,
+                                "segmentation": [[15, 15, 25, 15, 25, 25, 15, 25]]})
+        coco = {"images": images, "annotations": annotations,
+                "categories": [{"id": 1, "name": "Cell"}, {"id": 2, "name": "Nucleus"}]}
+        (tmp_path / "annotations" / "instances_train_evican2.json").write_text(
+            json.dumps(coco))
+
+        image_paths, seg_paths = get_evican_paths(str(tmp_path), split="train",
+                                                  segmentation_type="cell")
+        assert len(image_paths) == len(seg_paths) == 2
+
+        loader = get_evican_loader(str(tmp_path), patch_shape=(64, 64), batch_size=2,
+                                   split="train", segmentation_type="cell")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 64, 64)
+        assert y.max() == 1  # one cell instance per image
