@@ -3233,3 +3233,78 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (2, 1, 64, 64)
         assert y.max() == 1  # one cell instance per image
+
+    def test_glioma_c6_layout(self, tmp_path):
+        import json
+
+        import imageio.v3 as iio
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.glioma_c6 import (
+            _coco_to_instance_masks, get_glioma_c6_loader, get_glioma_c6_paths)
+
+        rng = np.random.default_rng(108)
+        # the post-rasterization layout: dataset/spec/<split>/{images,masks/anno_<split>}
+        data_dir = tmp_path / "GliomaC6"
+        for split in ("train", "valid"):
+            im_dir = data_dir / "dataset" / "spec" / split / "images"
+            mk_dir = data_dir / "dataset" / "spec" / split / "masks" / f"anno_{split}"
+            im_dir.mkdir(parents=True)
+            mk_dir.mkdir(parents=True)
+            for i in range(2):
+                iio.imwrite(im_dir / f"im{i}.tif",
+                            (rng.random((64, 64)) * 255).astype("uint8"))
+                Image.fromarray(rng.integers(0, 4, (64, 64)).astype("int32"),
+                                mode="I").save(mk_dir / f"im{i}_mask.tif")
+
+        raw_paths, label_paths = get_glioma_c6_paths(str(tmp_path), subset="spec",
+                                                     split="train")
+        assert len(raw_paths) == len(label_paths) == 2
+
+        loader = get_glioma_c6_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                      subset="spec", split="val")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+        # the COCO rasterizer skips 'cell_part' categories
+        coco = {"categories": [{"id": 1, "name": "cell"},
+                               {"id": 2, "name": "nucleus", "supercategory": "cell_part"}],
+                "images": [{"id": 0, "file_name": "x.tif", "height": 32, "width": 32}],
+                "annotations": [
+                    {"image_id": 0, "category_id": 1,
+                     "segmentation": [[4, 4, 20, 4, 20, 20, 4, 20]]},
+                    {"image_id": 0, "category_id": 2,
+                     "segmentation": [[8, 8, 12, 8, 12, 12, 8, 12]]}]}
+        ann_file = tmp_path / "ann.json"
+        ann_file.write_text(json.dumps(coco))
+        mask_dir = tmp_path / "coco_masks"
+        _coco_to_instance_masks(str(tmp_path), str(ann_file), str(mask_dir))
+        from torch_em_tpu.utils.io import load_image
+        mask = np.asarray(load_image(str(mask_dir / "x_mask.tif")))
+        assert mask.max() == 1  # only the cell polygon was burned
+
+    def test_idr0095_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.idr0095 import (
+            get_idr0095_loader, get_idr0095_paths)
+
+        rng = np.random.default_rng(109)
+        # pre-extracted layout: condition dirs with paired Phase/Mask tiffs
+        cond_dir = (tmp_path / "idr0095" / "Experiment_A_Figure3" / "glucose" / "cond1")
+        cond_dir.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray((rng.random((64, 64)) * 65535).astype("uint16")
+                            ).save(cond_dir / f"f{i}-Phase.tif")
+            Image.fromarray(rng.integers(0, 4, (64, 64)).astype("uint16")
+                            ).save(cond_dir / f"f{i}-Mask.tif")
+
+        raw_paths, mask_paths = get_idr0095_paths(str(tmp_path), experiment="A")
+        assert len(raw_paths) == len(mask_paths) == 2
+
+        loader = get_idr0095_loader(str(tmp_path), batch_size=2, patch_shape=(32, 32),
+                                    experiment="A")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)

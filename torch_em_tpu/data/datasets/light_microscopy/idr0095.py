@@ -58,15 +58,16 @@ def _get_phase_channel_index(nd2_file) -> int:
 
 
 def _extract_phase_tiffs(exp_dir: str, experiment: str) -> None:
-    """Extract Phase-channel frames from all ND2 files next to their masks."""
-    try:
-        import nd2
-    except ImportError:
-        raise ImportError("The 'nd2' package is required to read ND2 files from IDR0095.")
+    """Extract Phase-channel frames from all ND2 files next to their masks.
+    The optional ``nd2`` package is only required when a file actually needs
+    extraction, so pre-extracted Phase tiffs load without it."""
     from PIL import Image
 
     nd2_files = util.natsorted(glob(os.path.join(exp_dir, "**", "*.nd2"), recursive=True))
     if not nd2_files:
+        # pre-extracted layouts ship Phase tiffs without the raw acquisitions
+        if glob(os.path.join(exp_dir, "**", "*-Phase.tif"), recursive=True):
+            return
         raise RuntimeError(f"No ND2 files found in {exp_dir}.")
 
     for nd2_path in nd2_files:
@@ -80,6 +81,10 @@ def _extract_phase_tiffs(exp_dir: str, experiment: str) -> None:
         phase_paths = [p.replace("-Mask.tif", "-Phase.tif") for p in mask_paths]
         if all(os.path.exists(p) for p in phase_paths):
             continue
+        try:
+            import nd2
+        except ImportError:
+            raise ImportError("The 'nd2' package is required to read ND2 files from IDR0095.")
         try:
             with nd2.ND2File(nd2_path) as f:
                 phase_idx = _get_phase_channel_index(f)
