@@ -3308,3 +3308,151 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (2, 1, 32, 32)
         assert y.shape[-2:] == (32, 32)
+
+    def test_ifnuclei_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.ifnuclei import (
+            get_ifnuclei_loader, get_ifnuclei_paths)
+
+        rng = np.random.default_rng(110)
+        (tmp_path / "rawimages").mkdir()
+        (tmp_path / "groundtruth").mkdir()
+        for i in range(2):
+            Image.fromarray((rng.random((64, 64)) * 65535).astype("uint16")
+                            ).save(tmp_path / "rawimages" / f"im{i}.tif")
+            Image.fromarray(rng.integers(0, 5, (64, 64)).astype("uint16")
+                            ).save(tmp_path / "groundtruth" / f"im{i}.tif")
+
+        raw_paths, label_paths = get_ifnuclei_paths(str(tmp_path))
+        assert len(raw_paths) == len(label_paths) == 2
+
+        loader = get_ifnuclei_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                     binary=True)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape == (2, 1, 32, 32)
+
+    def test_liconn_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.light_microscopy.liconn import (
+            get_liconn_loader, get_liconn_paths)
+
+        rng = np.random.default_rng(111)
+        # the local h5 cache the CloudVolume streaming produces
+        with h5py.File(tmp_path / "liconn.h5", "w") as f:
+            f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            f.create_dataset("seg_proofread",
+                             data=rng.integers(0, 6, (8, 64, 64)).astype("uint64"))
+
+        paths = get_liconn_paths(str(tmp_path), segmentation="proofread")
+        assert len(paths) == 1
+        # the agglomerated variant is not cached -> loud refusal without download
+        with pytest.raises(RuntimeError):
+            get_liconn_paths(str(tmp_path), segmentation="agglomerated")
+
+        loader = get_liconn_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                   segmentation="proofread")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_lpc_nucseg_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.lpc_nucseg import (
+            get_lpc_nucseg_loader, get_lpc_nucseg_paths)
+
+        rng = np.random.default_rng(112)
+        repo = tmp_path / "Coelho2009_ISBI_NuclearSegmentation-master" / "data"
+        for source in ("gnf", "ic100"):
+            raw_dir = repo / "images" / "dna-images" / source
+            lab_dir = repo / "preprocessed-data" / source
+            raw_dir.mkdir(parents=True)
+            lab_dir.mkdir(parents=True)
+            for i in range(2):
+                Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                                ).save(raw_dir / f"im{i}.png")
+                Image.fromarray(rng.integers(0, 4, (64, 64)).astype("uint8")
+                                ).save(lab_dir / f"im{i}.png")
+
+        paths = get_lpc_nucseg_paths(str(tmp_path), source="gnf")
+        assert len(paths) == 2 and all(p.endswith(".h5") for p in paths)
+
+        loader = get_lpc_nucseg_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                       source="ic100")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_lsm_mouse_embryo_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.lsm_mouse_embryo import (
+            get_lsm_mouse_embryo_loader, get_lsm_mouse_embryo_paths)
+
+        rng = np.random.default_rng(113)
+        base = tmp_path / "LSM_Segmentation_Dataset" / "DAPI-Tissue" / "Training"
+        (base / "Original").mkdir(parents=True)
+        (base / "Mask").mkdir()
+        for i in range(2):
+            Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                            ).save(base / "Original" / f"im{i}.png")
+            # RGBA masks ship in the raw release
+            mask = np.zeros((64, 64, 4), dtype="uint8")
+            mask[10:30, 10:30] = (255, 255, 255, 255)
+            Image.fromarray(mask).save(base / "Mask" / f"im{i}.png")
+
+        image_paths, seg_paths = get_lsm_mouse_embryo_paths(str(tmp_path), split="train",
+                                                            task="tissue")
+        assert len(image_paths) == len(seg_paths) == 2
+        assert all(p.endswith(".tif") for p in seg_paths)
+
+        loader = get_lsm_mouse_embryo_loader(str(tmp_path), patch_shape=(64, 64),
+                                             batch_size=2, split="train", task="tissue")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 64, 64)
+        assert y.max() == 1  # normalized to binary single-channel
+
+    def test_medussa_layout(self, tmp_path):
+        import json
+
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.medussa import (
+            SPLIT_FILE_LISTS, get_medussa_loader, get_medussa_paths)
+
+        rng = np.random.default_rng(114)
+        # pre-seed the BioStudies file lists + the listed files themselves
+        file_list_dir = tmp_path / "file_lists"
+        file_list_dir.mkdir()
+        img_rels, mask_rels = [], []
+        for i in range(2):
+            img_rels.append(f"Files/images/im{i}.tif")
+            mask_rels.append(f"Files/masks/im{i}_mask.tif")
+        (file_list_dir / SPLIT_FILE_LISTS["train"]["images"]).write_text(
+            json.dumps([{"path": p} for p in img_rels]))
+        (file_list_dir / SPLIT_FILE_LISTS["train"]["masks"]).write_text(
+            json.dumps([{"path": p} for p in mask_rels]))
+        (tmp_path / "Files" / "images").mkdir(parents=True)
+        (tmp_path / "Files" / "masks").mkdir()
+        for i in range(2):
+            # a z-stack: the conversion max-projects it to 2D (5 slices --
+            # a leading dim of 4 would be mistaken for RGBA channels)
+            iio.imwrite(tmp_path / img_rels[i],
+                        (rng.random((5, 64, 64)) * 255).astype("uint8"))
+            iio.imwrite(tmp_path / mask_rels[i],
+                        rng.integers(0, 4, (64, 64)).astype("uint8"))
+
+        paths = get_medussa_paths(str(tmp_path), split="train")
+        assert len(paths) == 2
+        import h5py
+        with h5py.File(paths[0], "r") as f:
+            assert f["raw"].shape == (64, 64)  # max-projected
+
+        loader = get_medussa_loader(str(tmp_path), batch_size=2, patch_shape=(32, 32),
+                                    split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
