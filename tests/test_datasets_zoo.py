@@ -3456,3 +3456,119 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (2, 1, 32, 32)
         assert y.shape[-2:] == (32, 32)
+
+    def test_microbeseg_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.microbeseg import (
+            get_microbeseg_loader, get_microbeseg_paths)
+
+        rng = np.random.default_rng(115)
+        split_dir = tmp_path / "microbeSEG_dataset" / "30min-man_15min-pre" / "train"
+        split_dir.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray((rng.random((64, 64)) * 65535).astype("uint16")
+                            ).save(split_dir / f"img_{i:03d}.tif")
+            Image.fromarray(rng.integers(0, 4, (64, 64)).astype("uint16")
+                            ).save(split_dir / f"mask_{i:03d}.tif")
+
+        image_paths, seg_paths = get_microbeseg_paths(str(tmp_path), split="train")
+        assert len(image_paths) == len(seg_paths) == 2
+
+        loader = get_microbeseg_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                       split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_mndino_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.mndino import (
+            get_mndino_loader, get_mndino_paths)
+
+        rng = np.random.default_rng(116)
+        for split_dir in ("train", "validation"):
+            base = tmp_path / "annotated_mn_datasets" / split_dir
+            (base / "images").mkdir(parents=True)
+            (base / "nuclei_masks").mkdir()
+            (base / "mn_masks").mkdir()
+            for i in range(2):
+                Image.fromarray((rng.random((64, 64)) * 65535).astype("uint16")
+                                ).save(base / "images" / f"im{i}.tif")
+                Image.fromarray(rng.integers(0, 4, (64, 64)).astype("uint16")
+                                ).save(base / "nuclei_masks" / f"im{i}.tif")
+                Image.fromarray((rng.random((64, 64)) > 0.8).astype("uint8")
+                                ).save(base / "mn_masks" / f"im{i}.png")
+
+        train_paths = get_mndino_paths(str(tmp_path), split="train")
+        val_paths = get_mndino_paths(str(tmp_path), split="val")
+        assert len(train_paths) == 2 and len(val_paths) == 2
+
+        for label_choice in ("micronuclei", "nuclei"):
+            loader = get_mndino_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                       split="train", label_choice=label_choice)
+            x, y = next(iter(loader))
+            assert x.shape == (2, 1, 32, 32)
+            assert y.shape[-2:] == (32, 32)
+
+    def test_morphonet_layout(self, tmp_path):
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.morphonet import (
+            get_morphonet_loader, get_morphonet_paths)
+
+        rng = np.random.default_rng(117)
+        for org_dir in ("Patiria miniata",):
+            raw_dir = tmp_path / org_dir / "published" / "RAW"
+            seg_dir = tmp_path / org_dir / "published" / "SEG"
+            raw_dir.mkdir(parents=True)
+            seg_dir.mkdir(parents=True)
+            for t in range(2):
+                iio.imwrite(raw_dir / f"t{t:03d}.tif",
+                            (rng.random((8, 64, 64)) * 255).astype("uint8"))
+                iio.imwrite(seg_dir / f"t{t:03d}.tif",
+                            rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+            # macOS metadata files must be skipped
+            (raw_dir / "._t000.tif").write_bytes(b"junk")
+
+        paths = get_morphonet_paths(str(tmp_path), organism="patiria_miniata")
+        assert len(paths) == 2
+
+        loader = get_morphonet_loader(str(tmp_path), batch_size=1,
+                                      patch_shape=(4, 32, 32),
+                                      organism="patiria_miniata")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_morphoseg_layout(self, tmp_path):
+        import json
+
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.morphoseg import (
+            _rois_to_masks, get_morphoseg_loader, get_morphoseg_paths)
+
+        rng = np.random.default_rng(118)
+        data_dir = tmp_path / "train"
+        (data_dir / "training_dataset").mkdir(parents=True)
+        (data_dir / "roi_jsons_combined").mkdir()
+        for i in range(2):
+            Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                            ).save(data_dir / "training_dataset" / f"im{i}.tif")
+            (data_dir / "roi_jsons_combined" / f"im{i}_ROI.json").write_text(json.dumps(
+                [{"points": [[10, 10], [30, 10], [30, 30], [10, 30]]},
+                 {"points": [[40, 40], [60, 40], [60, 60], [40, 60]]}]))
+        _rois_to_masks(str(data_dir))
+
+        raw_paths, label_paths = get_morphoseg_paths(str(tmp_path), split="train")
+        assert len(raw_paths) == len(label_paths) == 2
+        with pytest.raises(RuntimeError):
+            get_morphoseg_paths(str(tmp_path), split="test")
+
+        loader = get_morphoseg_loader(str(tmp_path), patch_shape=(64, 64), batch_size=2,
+                                      split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 64, 64)
+        assert y.max() == 2  # two rasterized ROIs
