@@ -3572,3 +3572,56 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (2, 1, 64, 64)
         assert y.max() == 2  # two rasterized ROIs
+
+    def test_mucic_layout(self, tmp_path):
+        import h5py
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.mucic import (
+            _semantic_to_instances_watershed, get_mucic_loader, get_mucic_paths)
+
+        rng = np.random.default_rng(119)
+        # hl60: paired image-final_* / image-labels_* h5 files with key 'Image'
+        variant_dir = tmp_path / "hl60" / "low_c00"
+        variant_dir.mkdir(parents=True)
+        for i in range(2):
+            with h5py.File(variant_dir / f"image-final_{i:03d}.h5", "w") as f:
+                f.create_dataset("Image", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+            with h5py.File(variant_dir / f"image-labels_{i:03d}.h5", "w") as f:
+                f.create_dataset("Image", data=rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+
+        paths = get_mucic_paths(str(tmp_path), cell_line="hl60", variant="low_c00")
+        assert len(paths) == 2
+        with h5py.File(paths[0], "r") as f:
+            assert "labels/instances" in f and "labels/semantic" in f
+
+        loader = get_mucic_loader(str(tmp_path), batch_size=1, patch_shape=(4, 32, 32),
+                                  cell_line="hl60", variant="low_c00")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+        # vasculogenesis (2D, semantic pngs -> watershed instances)
+        vasc_dir = tmp_path / "vasculogenesis" / "default"
+        (vasc_dir / "images").mkdir(parents=True)
+        (vasc_dir / "labels").mkdir()
+        for i in range(2):
+            Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                            ).save(vasc_dir / "images" / f"image_{i:04d}.png")
+            mask = np.zeros((64, 64), dtype="uint8")
+            mask[5:20, 5:20] = 255
+            mask[35:55, 35:55] = 255
+            Image.fromarray(mask).save(vasc_dir / "labels" / f"mask_{i:04d}.png")
+
+        vpaths = get_mucic_paths(str(tmp_path), cell_line="vasculogenesis")
+        assert len(vpaths) == 2
+        import h5py as _h5
+        with _h5.File(vpaths[0], "r") as f:
+            assert f["labels/instances"][:].max() == 2  # watershed split the squares
+
+        # the watershed helper separates two touching blobs
+        sem = np.zeros((32, 32), dtype="uint8")
+        sem[4:15, 4:28] = 1
+        sem[16:28, 4:28] = 1
+        inst = _semantic_to_instances_watershed(sem)
+        assert inst.max() >= 1
