@@ -3625,3 +3625,119 @@ class TestZooLayouts:
         sem[16:28, 4:28] = 1
         inst = _semantic_to_instances_watershed(sem)
         assert inst.max() >= 1
+
+    def test_neurosphere_layout(self, tmp_path):
+        import imageio.v3 as iio
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.neurosphere import (
+            get_neurosphere_loader, get_neurosphere_paths)
+
+        rng = np.random.default_rng(120)
+        data_dir = tmp_path / "neurosphere" / "sample"
+        data_dir.mkdir(parents=True)
+        iio.imwrite(data_dir / "OriginalStack.tif",
+                    (rng.random((8, 64, 64)) * 255).astype("uint8"))
+        # thin-shell contour labels: a hollow box per instance
+        shells = np.zeros((8, 64, 64), dtype="uint16")
+        shells[2:6, 10:30, 10:30] = 1
+        shells[3:5, 12:28, 12:28] = 0  # hollow interior -> must be filled
+        frames = [Image.fromarray(sl.astype("int32"), mode="I") for sl in shells]
+        frames[0].save(data_dir / "Nucleisegmented2.tif", save_all=True,
+                       append_images=frames[1:])
+
+        raw_paths, label_paths = get_neurosphere_paths(str(tmp_path))
+        assert len(raw_paths) == len(label_paths) == 1
+        from torch_em_tpu.utils.io import load_image
+        filled = np.asarray(load_image(label_paths[0]))
+        assert filled[3, 20, 20] == 1  # interior filled
+
+        loader = get_neurosphere_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                        batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_nis3d_layout(self, tmp_path):
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.nis3d import (
+            get_nis3d_loader, get_nis3d_paths)
+
+        rng = np.random.default_rng(121)
+        for species in ("DrosophilaMelanogaster_1", "MusMusculus_1"):
+            d = tmp_path / "NIS3D" / "NIS3D" / species
+            d.mkdir(parents=True)
+            iio.imwrite(d / "data.tif", (rng.random((8, 64, 64)) * 255).astype("uint8"))
+            iio.imwrite(d / "GroundTruth.tif",
+                        rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+        # suggestive cross-image split layout
+        split_dir = tmp_path / "NIS3D" / "suggestive splitting" / "cross-image" / "train" / "vol1"
+        split_dir.mkdir(parents=True)
+        iio.imwrite(split_dir / "data.tif", (rng.random((8, 64, 64)) * 255).astype("uint8"))
+        iio.imwrite(split_dir / "GroundTruth.tif",
+                    rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+
+        raw_paths, label_paths = get_nis3d_paths(str(tmp_path))
+        assert len(raw_paths) == len(label_paths) == 2
+        raw_split, _ = get_nis3d_paths(str(tmp_path), split="train",
+                                       split_type="cross-image")
+        assert len(raw_split) == 1
+
+        loader = get_nis3d_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_nisnet3d_layout(self, tmp_path):
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.nisnet3d import (
+            get_nisnet3d_loader, get_nisnet3d_paths)
+
+        rng = np.random.default_rng(122)
+        vol = "Rat_liver_1"
+        for sub in ("V1", "synthetic"):
+            d = tmp_path / "ground_truth_and_synthetic" / vol / sub
+            d.mkdir(parents=True)
+            iio.imwrite(d / f"{sub}.tif", (rng.random((8, 64, 64)) * 255).astype("uint8"))
+            iio.imwrite(d / f"{sub}_gt.tif",
+                        rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+
+        raw_paths, label_paths = get_nisnet3d_paths(str(tmp_path), volumes=[vol])
+        # synthetic subfolder must be skipped
+        assert len(raw_paths) == len(label_paths) == 1 and "V1" in raw_paths[0]
+
+        loader = get_nisnet3d_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                     batch_size=1, volumes=[vol])
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_nuc_morph_layout(self, tmp_path):
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.nuc_morph import (
+            get_nuc_morph_loader, get_nuc_morph_paths)
+
+        rng = np.random.default_rng(123)
+        # pre-seed the manifest + the per-FOV tifs (no S3 access)
+        (tmp_path / "training_data_manifest.csv").write_text(
+            "index,mode\n1,train\n2,train\n3,valid\n")
+        (tmp_path / "high_res_100x").mkdir()
+        (tmp_path / "watershed_segmentation_100x").mkdir()
+        for idx in (1, 2, 3):
+            iio.imwrite(tmp_path / "high_res_100x" / f"IMG_{idx:04d}.tif",
+                        (rng.random((8, 64, 64)) * 255).astype("uint8"))
+            iio.imwrite(tmp_path / "watershed_segmentation_100x" / f"IMG_{idx:04d}.tif",
+                        rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+
+        train_paths = get_nuc_morph_paths(str(tmp_path), split="train")
+        val_paths = get_nuc_morph_paths(str(tmp_path), split="val")
+        assert len(train_paths) == 2 and len(val_paths) == 1
+
+        loader = get_nuc_morph_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                      batch_size=1, split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
