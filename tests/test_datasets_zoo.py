@@ -3741,3 +3741,127 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
         assert y.shape[-3:] == (4, 32, 32)
+
+    def test_oocyteseg_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.oocyteseg import (
+            get_oocyteseg_loader, get_oocyteseg_paths)
+
+        rng = np.random.default_rng(124)
+        for subdir in ("exp1", "exp2"):
+            in_dir = tmp_path / "SegmentationCortex" / "mouse" / subdir / "input"
+            mk_dir = tmp_path / "SegmentationCortex" / "mouse" / subdir / "mask"
+            in_dir.mkdir(parents=True)
+            mk_dir.mkdir(parents=True)
+            for i in range(2):
+                # RGB inputs are converted to single-channel uint8
+                Image.fromarray((rng.random((64, 64, 3)) * 255).astype("uint8")
+                                ).save(in_dir / f"im{i}.png")
+                mask = np.zeros((64, 64, 3), dtype="uint8")
+                mask[10:40, 10:40] = 255
+                Image.fromarray(mask).save(mk_dir / f"im{i}.png")
+
+        raw_paths, label_paths = get_oocyteseg_paths(str(tmp_path), split="train",
+                                                     species="mouse")
+        assert len(raw_paths) == len(label_paths) == 4
+
+        loader = get_oocyteseg_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                      split="train", species="mouse")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)  # grayscale-converted
+        assert y.max() <= 1  # binarized masks
+
+    def test_orgaextractor_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.orgaextractor import (
+            _preprocess_data, get_orgaextractor_loader, get_orgaextractor_paths)
+
+        rng = np.random.default_rng(125)
+        data_dir = tmp_path / "train"
+        data_dir.mkdir()
+        for i in range(2):
+            Image.fromarray((rng.random((64, 64, 3)) * 255).astype("uint8")
+                            ).save(data_dir / f"im{i}.jpg")
+            mask = np.zeros((64, 64), dtype="uint8")
+            mask[5:20, 5:20] = 255
+            mask[40:60, 40:60] = 255
+            Image.fromarray(mask).save(data_dir / f"im{i}.tif")
+        _preprocess_data(str(data_dir))
+
+        image_paths, gt_paths = get_orgaextractor_paths(str(tmp_path), split="train")
+        assert len(image_paths) == len(gt_paths) == 2
+        from torch_em_tpu.utils.io import load_image
+        gt = np.asarray(load_image(gt_paths[0]))
+        assert gt.max() == 2  # semantic -> connected-component instances
+
+        loader = get_orgaextractor_loader(str(tmp_path), patch_shape=(32, 32),
+                                          batch_size=2, split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_organoid_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.light_microscopy.organoid import (
+            get_organoid_loader, get_organoid_paths)
+
+        rng = np.random.default_rng(126)
+        # post-preprocessing layout: data/<source>/<split>/*.h5
+        for split in ("train", "val"):
+            d = tmp_path / "data" / "original" / split
+            d.mkdir(parents=True)
+            for i in range(2):
+                with h5py.File(d / f"im{i}.h5", "w") as f:
+                    f.create_dataset("raw", data=(rng.random((3, 64, 64)) * 255).astype("uint8"))
+                    f.create_dataset("labels", data=rng.integers(0, 4, (64, 64)).astype("uint16"))
+        gdir = tmp_path / "data" / "gemcitabine"
+        gdir.mkdir()
+        with h5py.File(gdir / "well1.h5", "w") as f:
+            f.create_dataset("raw/bf", data=(rng.random((8, 64, 64)) * 255).astype("uint16"))
+            f.create_dataset("raw/pi", data=(rng.random((8, 64, 64)) * 255).astype("uint16"))
+            f.create_dataset("labels", data=rng.integers(0, 4, (8, 64, 64)).astype("uint16"))
+
+        paths = get_organoid_paths(str(tmp_path), split="train", source="original")
+        assert len(paths) == 2
+
+        loader = get_organoid_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                     split="train", source="original")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+        # two-channel gemcitabine screens
+        gloader = get_organoid_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                      batch_size=1, source="gemcitabine",
+                                      source_channels=["bf", "pi"])
+        x, y = next(iter(gloader))
+        assert x.shape == (1, 2, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_organoidnet_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.organoidnet import (
+            get_organoidnet_loader, get_organoidnet_paths)
+
+        rng = np.random.default_rng(127)
+        for split in ("Training", "Validation"):
+            (tmp_path / split / "Images").mkdir(parents=True)
+            (tmp_path / split / "Masks").mkdir()
+            for i in range(2):
+                Image.fromarray((rng.random((64, 64)) * 65535).astype("uint16")
+                                ).save(tmp_path / split / "Images" / f"im{i}.tif")
+                Image.fromarray(rng.integers(0, 4, (64, 64)).astype("uint16")
+                                ).save(tmp_path / split / "Masks" / f"im{i}.tif")
+
+        image_paths, label_paths = get_organoidnet_paths(str(tmp_path), split="Training")
+        assert len(image_paths) == len(label_paths) == 2
+
+        loader = get_organoidnet_loader(str(tmp_path), split="Training",
+                                        patch_shape=(32, 32), batch_size=2)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
