@@ -3865,3 +3865,101 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (2, 1, 32, 32)
         assert y.shape[-2:] == (32, 32)
+
+    def test_parhyale_regen_layout(self, tmp_path):
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.parhyale_regen import (
+            get_parhyale_regen_loader, get_parhyale_regen_paths)
+
+        rng = np.random.default_rng(128)
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        # 50-timepoint hyperstack with z=8, page-flattened as PIL reads it
+        iio.imwrite(data_dir / "Parhyale_H2B-EGFP_images_tp01-50.tif",
+                    (rng.random((50 * 8, 32, 32)) * 255).astype("uint8"))
+        for tp in (1, 11, 21, 31, 41, 50):
+            iio.imwrite(data_dir / f"Parhyale_instance-segmentation-labels_tp{tp:02d}.tif",
+                        rng.integers(0, 4, (8, 32, 32)).astype("uint16"))
+
+        paths = get_parhyale_regen_paths(str(tmp_path))
+        assert len(paths) == 6
+
+        loader = get_parhyale_regen_loader(str(tmp_path), patch_shape=(4, 16, 16),
+                                           batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 16, 16)
+        assert y.shape[-3:] == (4, 16, 16)
+
+    def test_phmamm_layout(self, tmp_path):
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.phmamm import (
+            get_phmamm_loader, get_phmamm_paths)
+
+        rng = np.random.default_rng(129)
+        (tmp_path / "data" / "Inputs").mkdir(parents=True)
+        (tmp_path / "data" / "ASTEC_Ground_truth").mkdir()
+        for i in range(2):
+            iio.imwrite(tmp_path / "data" / "Inputs" / f"t{i}.tiff",
+                        (rng.random((8, 64, 64)) * 255).astype("uint8"))
+            iio.imwrite(tmp_path / "data" / "ASTEC_Ground_truth" / f"t{i}.tiff",
+                        rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+
+        raw_paths, label_paths = get_phmamm_paths(str(tmp_path))
+        assert len(raw_paths) == len(label_paths) == 2
+
+        loader = get_phmamm_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                   binary=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape == (1, 1, 4, 32, 32)
+
+    def test_pnas_arabidopsis_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.light_microscopy.pnas_arabidopsis import (
+            get_pnas_arabidopsis_loader, get_pnas_arabidopsis_paths)
+
+        rng = np.random.default_rng(130)
+        # post-conversion layout: data/*.h5
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        for i in range(2):
+            with h5py.File(data_dir / f"plant{i}_trim-acylYFP.h5", "w") as f:
+                f.create_dataset("raw", data=(rng.random((8, 64, 64)) * 255).astype("uint8"))
+                f.create_dataset("labels", data=rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+
+        paths = get_pnas_arabidopsis_paths(str(tmp_path))
+        assert len(paths) == 2
+
+        loader = get_pnas_arabidopsis_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                             batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_scaffold_a549_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.light_microscopy.scaffold_a549 import (
+            get_scaffold_a549_loader, get_scaffold_a549_paths)
+
+        rng = np.random.default_rng(131)
+        for subdir in ("train", "test"):
+            (tmp_path / "scaffold_a549" / subdir).mkdir(parents=True)
+        np.save(tmp_path / "scaffold_a549" / "test" / "sf_a549_21.npy",
+                (rng.random((8, 64, 64)) * 255).astype("float32"))
+        np.save(tmp_path / "scaffold_a549" / "test" / "sf_a549_21_Label.npy",
+                rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+        np.save(tmp_path / "scaffold_a549" / "train" / "sf_a549_01.npy",
+                (rng.random((8, 64, 64)) * 255).astype("float32"))
+
+        raw_paths, label_paths = get_scaffold_a549_paths(str(tmp_path), split="test")
+        assert len(raw_paths) == len(label_paths) == 1
+        train_raw, train_lab = get_scaffold_a549_paths(str(tmp_path), split="train")
+        assert len(train_raw) == 1 and train_lab == []  # train is unlabeled
+
+        loader = get_scaffold_a549_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                          batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)

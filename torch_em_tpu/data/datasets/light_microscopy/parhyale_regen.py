@@ -21,10 +21,18 @@ RECORD_API = "https://zenodo.org/api/records/8252039"
 
 def _preprocess_data(root, path):
     import h5py
+    import imageio.v3 as iio
 
     raw_path = os.path.join(path, "Parhyale_H2B-EGFP_images_tp01-50.tif")
     assert os.path.exists(raw_path)
-    raw = np.asarray(load_image(raw_path))
+    # the raw stack is a 4D ImageJ hyperstack over 50 timepoints (tp, z, y, x);
+    # reference parhyale_regen.py:28 reads it with imageio. Without a
+    # tifffile backend the pages come back flattened as (tp * z, y, x), so
+    # restore the timepoint axis from the known count.
+    raw = np.asarray(iio.imread(raw_path))
+    n_tps = 50
+    if raw.ndim == 3 and raw.shape[0] != n_tps and raw.shape[0] % n_tps == 0:
+        raw = raw.reshape(n_tps, raw.shape[0] // n_tps, *raw.shape[1:])
     tps = [0, 10, 20, 30, 40, 49]
     label_tps = [np.asarray(load_image(p)) for p in util.natsorted(
         glob(os.path.join(path, "*_instance-segmentation-labels_*.tif")))]
