@@ -3963,3 +3963,133 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 4, 32, 32)
         assert y.shape[-3:] == (4, 32, 32)
+
+    def test_segpc_layout(self, tmp_path):
+        import h5py
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.segpc import (
+            get_segpc_loader, get_segpc_paths)
+
+        rng = np.random.default_rng(132)
+        data_dir = tmp_path / "TCIA_SegPC_dataset" / "train"
+        (data_dir / "x").mkdir(parents=True)
+        (data_dir / "y").mkdir()
+        for i in range(2):
+            Image.fromarray((rng.random((64, 64, 3)) * 255).astype("uint8")
+                            ).save(data_dir / "x" / f"{i}.bmp")
+            # per-instance masks: 40 = nucleus, 20 = rest of the cell
+            for k, off in ((1, 8), (2, 36)):
+                mask = np.zeros((64, 64), dtype="uint8")
+                mask[off:off + 16, off:off + 16] = 20
+                mask[off + 4:off + 10, off + 4:off + 10] = 40
+                Image.fromarray(mask).save(data_dir / "y" / f"{i}_{k}.bmp")
+
+        volume_paths = get_segpc_paths(str(tmp_path), split="train")
+        assert len(volume_paths) == 2
+        with h5py.File(volume_paths[0], "r") as f:
+            nuclei = f["labels/nuclei"][:]
+            cells = f["labels/cells"][:]
+        assert nuclei.max() == 2 and cells.max() == 2
+        assert (cells > 0).sum() > (nuclei > 0).sum()
+
+        loader = get_segpc_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                  split="train", label_choice="cells")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_slimia_layout(self, tmp_path):
+        import imageio.v3 as iio
+
+        from torch_em_tpu.data.datasets.light_microscopy.slimia import (
+            get_slimia_loader, get_slimia_paths)
+
+        rng = np.random.default_rng(133)
+        micro = "OperaPhenix"
+        for cell_line in ("HepG2",):
+            im_dir = tmp_path / micro / "Images" / cell_line
+            seg_dir = tmp_path / micro / "Manual segmentations" / cell_line
+            im_dir.mkdir(parents=True)
+            seg_dir.mkdir(parents=True)
+            for i in range(2):
+                iio.imwrite(im_dir / f"im{i}.ome.tiff",
+                            (rng.random((64, 64)) * 255).astype("uint8"))
+                iio.imwrite(seg_dir / f"im{i}.ome.tiff",
+                            (rng.random((64, 64)) > 0.5).astype("uint8") * 255)
+
+        paths = get_slimia_paths(str(tmp_path), microscope=micro)
+        assert len(paths) == 2
+
+        loader = get_slimia_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                   microscope=micro)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.max() <= 1  # binarized
+
+    def test_spheroids_hepg2_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.light_microscopy.spheroids_hepg2 import (
+            get_spheroids_hepg2_loader, get_spheroids_hepg2_paths)
+        from torch_em_tpu.utils.medical_io import save_nrrd
+
+        rng = np.random.default_rng(134)
+        (tmp_path / "spheroids").mkdir()
+        (tmp_path / "GT").mkdir()
+        for i in range(2):
+            save_nrrd(str(tmp_path / "spheroids" / f"sph{i}.nrrd"),
+                      (rng.random((8, 64, 64)) * 255).astype("float32"))
+            save_nrrd(str(tmp_path / "GT" / f"sph{i}.nrrd"),
+                      rng.integers(0, 5, (8, 64, 64)).astype("uint16"))
+            # expanded variants must be ignored
+            save_nrrd(str(tmp_path / "spheroids" / f"sph{i}_expanded.nrrd"),
+                      (rng.random((8, 64, 64)) * 255).astype("float32"))
+
+        raw_paths, label_paths = get_spheroids_hepg2_paths(str(tmp_path))
+        assert len(raw_paths) == len(label_paths) == 2
+        assert not any("expanded" in p for p in raw_paths)
+
+        loader = get_spheroids_hepg2_loader(str(tmp_path), patch_shape=(4, 32, 32),
+                                            batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_synthmt_layout(self, tmp_path):
+        from io import BytesIO
+
+        import pandas as pd
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.synthmt import (
+            get_synthmt_loader, get_synthmt_paths)
+
+        rng = np.random.default_rng(135)
+
+        def _png_bytes(arr):
+            buf = BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            return buf.getvalue()
+
+        parquet_dir = tmp_path / "parquets"
+        parquet_dir.mkdir()
+        for i in range(8):  # the fixed 8-shard hub layout
+            img = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            masks = []
+            for off in (5, 35):
+                m = np.zeros((64, 64), dtype="uint8")
+                m[off:off + 12, off:off + 12] = 255
+                masks.append({"bytes": _png_bytes(m)})
+            pd.DataFrame([{"id": f"s{i}", "image": {"bytes": _png_bytes(img)},
+                           "mask": masks}]).to_parquet(
+                parquet_dir / f"train-{i:05d}-of-00008.parquet")
+
+        image_paths, label_paths = get_synthmt_paths(str(tmp_path))
+        assert len(image_paths) == len(label_paths) == 8
+        from torch_em_tpu.utils.io import load_image
+        inst = np.asarray(load_image(label_paths[0]))
+        assert inst.max() == 2  # two decoded masks -> two instances
+
+        loader = get_synthmt_loader(str(tmp_path), patch_shape=(64, 64), batch_size=2)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 64, 64)
+        assert y.shape[-2:] == (64, 64)
