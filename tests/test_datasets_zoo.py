@@ -4093,3 +4093,110 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (2, 3, 64, 64)
         assert y.shape[-2:] == (64, 64)
+
+    def test_toiam_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.toiam import (
+            get_toiam_loader, get_toiam_paths)
+
+        rng = np.random.default_rng(136)
+        for seq in ("01", "02"):
+            (tmp_path / "data" / seq).mkdir(parents=True)
+            (tmp_path / "data" / f"{seq}_GT" / "SEG").mkdir(parents=True)
+            for t in range(2):
+                Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                                ).save(tmp_path / "data" / seq / f"t{t:03d}.tif")
+                Image.fromarray(rng.integers(0, 4, (64, 64)).astype("uint16")
+                                ).save(tmp_path / "data" / f"{seq}_GT" / "SEG" / f"man_seg{t:03d}.tif")
+
+        raw_paths, label_paths = get_toiam_paths(str(tmp_path))
+        assert len(raw_paths) == len(label_paths) == 4
+
+        loader = get_toiam_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_u20s_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.u20s import (
+            _process_masks, get_u20s_loader, get_u20s_paths)
+
+        rng = np.random.default_rng(137)
+        (tmp_path / "images").mkdir()
+        (tmp_path / "masks").mkdir()
+        for i in range(2):
+            Image.fromarray((rng.random((64, 64)) * 65535).astype("uint16")
+                            ).save(tmp_path / "images" / f"im{i}.tif")
+            # BBBC039 masks ship as RGBA pngs, instances in channel 0
+            mask = np.zeros((64, 64, 4), dtype="uint8")
+            mask[5:20, 5:20, 0] = 255
+            mask[35:55, 35:55, 0] = 255
+            mask[..., 3] = 255
+            Image.fromarray(mask).save(tmp_path / "masks" / f"im{i}.png")
+        _process_masks(str(tmp_path))
+        assert not (tmp_path / "masks").exists()  # consumed
+
+        image_paths, label_paths = get_u20s_paths(str(tmp_path))
+        assert len(image_paths) == len(label_paths) == 2
+        from torch_em_tpu.utils.io import load_image
+        labels = np.asarray(load_image(label_paths[0]))
+        assert labels.max() == 2  # connected components split the squares
+
+        loader = get_u20s_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_usiigaci_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.usiigaci import (
+            get_usiigaci_loader, get_usiigaci_paths)
+
+        rng = np.random.default_rng(138)
+        for s in ("set1", "set2"):
+            d = tmp_path / "Usiigaci" / "Mask R-CNN" / "train" / s
+            d.mkdir(parents=True)
+            Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                            ).save(d / "raw.tif")
+            Image.fromarray(rng.integers(0, 4, (64, 64)).astype("uint8")
+                            ).save(d / "instances_ids.png")
+
+        raw_paths, label_paths = get_usiigaci_paths(str(tmp_path), split="train")
+        assert len(raw_paths) == len(label_paths) == 2
+
+        loader = get_usiigaci_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                     split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_vicar_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.vicar import (
+            get_vicar_loader, get_vicar_paths)
+
+        rng = np.random.default_rng(139)
+        for ct in ("A2058", "G361"):
+            d = tmp_path / "labelled" / ct
+            d.mkdir(parents=True)
+            for i in range(2):
+                Image.fromarray((rng.random((64, 64)) * 65535).astype("uint16")
+                                ).save(d / f"{i}_img.tif")
+                Image.fromarray(rng.integers(0, 4, (64, 64)).astype("uint8")
+                                ).save(d / f"{i}_mask.png")
+
+        raw_paths, label_paths = get_vicar_paths(str(tmp_path))
+        assert len(raw_paths) == len(label_paths) == 4
+        a2058_raw, _ = get_vicar_paths(str(tmp_path), cell_types="A2058")
+        assert len(a2058_raw) == 2
+
+        loader = get_vicar_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                  cell_types=["A2058"])
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
