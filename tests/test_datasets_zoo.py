@@ -4200,3 +4200,202 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (2, 1, 32, 32)
         assert y.shape[-2:] == (32, 32)
+
+    def test_vibrio_cholerae_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.vibrio_cholerae import (
+            get_vibrio_cholerae_loader, get_vibrio_cholerae_paths)
+
+        rng = np.random.default_rng(140)
+        data_dir = tmp_path / "training-data-from-experimentally-acquired-images"
+        (data_dir / "raw-data").mkdir(parents=True)
+        (data_dir / "semi-manual-annotation").mkdir()
+        for i in range(2):
+            Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                            ).save(data_dir / "raw-data" / f"im{i}_raw.tif")
+            Image.fromarray(rng.integers(0, 4, (64, 64)).astype("uint16")
+                            ).save(data_dir / "semi-manual-annotation" / f"im{i}_labels.tif")
+
+        raw_paths, label_paths = get_vibrio_cholerae_paths(str(tmp_path))
+        assert len(raw_paths) == len(label_paths) == 2
+
+        loader = get_vibrio_cholerae_loader(str(tmp_path), patch_shape=(64, 64),
+                                            batch_size=2, binary=True)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 64, 64)
+        assert y.shape == (2, 1, 64, 64)
+
+    def test_wing_disc_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.light_microscopy.wing_disc import (
+            _preprocess_volumes, VOLUMES, get_wing_disc_loader, get_wing_disc_paths)
+        from torch_em_tpu.utils.io import write_data
+
+        rng = np.random.default_rng(141)
+        zarr_dir = tmp_path / "zarr"
+        zarr_dir.mkdir()
+        for name in VOLUMES:
+            # raw ships (1, 1, Z, Y, X), labels (Z, 1, 1, Y, X)
+            write_data(str(zarr_dir / f"{name}.zarr"), "0/0",
+                       (rng.random((1, 1, 8, 32, 32)) * 255).astype("uint16"))
+            write_data(str(zarr_dir / f"{name}_segmented.zarr"), "0/0",
+                       rng.integers(0, 4, (8, 1, 1, 32, 32)).astype("uint16"))
+        _preprocess_volumes(str(tmp_path), str(tmp_path / "data"))
+
+        paths = get_wing_disc_paths(str(tmp_path))
+        assert len(paths) == len(VOLUMES)
+
+        loader = get_wing_disc_loader(str(tmp_path), patch_shape=(4, 16, 16),
+                                      batch_size=1, binary=True)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 16, 16)
+        assert y.shape == (1, 1, 4, 16, 16)
+
+    def test_xpress_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.light_microscopy.xpress import (
+            _merge_to_single_h5, get_xpress_loader)
+
+        rng = np.random.default_rng(142)
+        raw_path = tmp_path / "xpress-training-raw.h5"
+        label_path = tmp_path / "xpress-training-voxel-labels.h5"
+        with h5py.File(raw_path, "w") as f:
+            ds = f.create_dataset("volumes/raw",
+                                  data=(rng.random((64, 64, 64)) * 255).astype("uint8"))
+            ds.attrs["resolution"] = [10, 10, 10]
+        with h5py.File(label_path, "w") as f:
+            ds = f.create_dataset("volumes/labels",
+                                  data=rng.integers(0, 5, (16, 16, 16)).astype("uint32"))
+            ds.attrs["offset"] = [200, 200, 200]  # nm -> voxel 20 with res 10
+        out = _merge_to_single_h5(str(raw_path), str(label_path), str(tmp_path / "xpress-training.h5"))
+        with h5py.File(out, "r") as f:
+            assert f["raw"].shape == f["labels"].shape
+            # labeled region sits at voxel offset 20 inside the crop
+            assert f["labels"][:].max() > 0
+
+        loader = get_xpress_loader(str(tmp_path), patch_shape=(8, 16, 16), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 16, 16)
+        assert y.shape[-3:] == (8, 16, 16)
+
+    def test_yeastcellseg_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.yeastcellseg import (
+            _FILENAMES, _create_h5_data, get_yeastcellseg_loader,
+            get_yeastcellseg_paths)
+
+        rng = np.random.default_rng(143)
+        raw_dir = tmp_path / "raw"
+        gt_dir = tmp_path / "gt"
+        raw_dir.mkdir()
+        gt_dir.mkdir()
+        for name in _FILENAMES:
+            Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                            ).save(raw_dir / f"{name}.tif")
+            gt = np.zeros((64, 64), dtype="uint8")
+            gt[5:20, 5:20] = 255
+            gt[35:55, 35:55] = 255
+            Image.fromarray(gt).save(gt_dir / f"{name}_gt.tif")
+        _create_h5_data(str(tmp_path), str(raw_dir), str(gt_dir))
+
+        paths = get_yeastcellseg_paths(str(tmp_path))
+        assert len(paths) == len(_FILENAMES)
+        import h5py
+        with h5py.File(paths[0], "r") as f:
+            assert f["labels/instances"][:].max() == 2  # cc split the squares
+
+        loader = get_yeastcellseg_loader(str(tmp_path), patch_shape=(32, 32),
+                                         batch_size=2, label_choice="semantic")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_yeastms_layout(self, tmp_path):
+        import torch
+
+        from torch_em_tpu.data.datasets.light_microscopy.yeastms import (
+            get_yeastms_loader, get_yeastms_paths)
+
+        rng = np.random.default_rng(144)
+        for sub in ("inputs", "instances", "classes"):
+            (tmp_path / "train" / sub).mkdir(parents=True)
+        for i in range(2):
+            torch.save(torch.from_numpy(rng.random((64, 64)).astype("float32")),
+                       tmp_path / "train" / "inputs" / f"s{i}.pt")
+            inst = np.zeros((3, 64, 64), dtype="uint8")
+            inst[0, 5:15, 5:15] = 1    # cell
+            inst[1, 30:40, 30:40] = 1  # cell
+            inst[2, 50:60, 50:60] = 1  # trap microstructure
+            torch.save(torch.from_numpy(inst), tmp_path / "train" / "instances" / f"s{i}.pt")
+            torch.save(torch.from_numpy(np.array([0, 0, 1])),
+                       tmp_path / "train" / "classes" / f"s{i}.pt")
+
+        paths = get_yeastms_paths(str(tmp_path), split="train")
+        assert len(paths) == 2
+        import h5py
+        with h5py.File(paths[0], "r") as f:
+            labels = f["labels"][:]
+        assert labels.max() == 2  # only the two cells, trap excluded
+        assert labels[55, 55] == 0
+
+        loader = get_yeastms_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                    split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[0] == 2 and y.shape[-2:] == (32, 32)
+
+    def test_yeastsam_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.yeastsam import (
+            get_yeastsam_loader, get_yeastsam_paths)
+
+        rng = np.random.default_rng(145)
+        (tmp_path / "DIC").mkdir()
+        (tmp_path / "DIC_mask").mkdir()
+        for i in range(2):
+            Image.fromarray((rng.random((64, 64)) * 65535).astype("uint16")
+                            ).save(tmp_path / "DIC" / f"im{i}.tif")
+            Image.fromarray(rng.integers(0, 4, (64, 64)).astype("uint16")
+                            ).save(tmp_path / "DIC_mask" / f"im{i}.tif")
+
+        image_paths, label_paths = get_yeastsam_paths(str(tmp_path))
+        assert len(image_paths) == len(label_paths) == 2
+
+        loader = get_yeastsam_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_yeaz_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.yeaz import (
+            get_yeaz_loader, get_yeaz_paths)
+
+        rng = np.random.default_rng(146)
+        data_dir = tmp_path / "gold-standard-PhC-plus-2"
+        data_dir.mkdir()
+        for i in range(10):
+            Image.fromarray((rng.random((64, 64)) * 65535).astype("uint16")
+                            ).save(data_dir / f"im{i}_im.tif")
+            Image.fromarray(rng.integers(0, 4, (64, 64)).astype("uint16")
+                            ).save(data_dir / f"im{i}_mask.tif")
+
+        train_raw, train_lab = get_yeaz_paths(str(tmp_path), choice="phc", split="train")
+        val_raw, _ = get_yeaz_paths(str(tmp_path), choice="phc", split="val")
+        test_raw, _ = get_yeaz_paths(str(tmp_path), choice="phc", split="test")
+        assert len(train_raw) + len(val_raw) + len(test_raw) == 10
+        assert len(test_raw) == 2  # 20% test split
+        assert len(train_raw) == len(train_lab)
+        # split is persisted: re-query gives the same files
+        again, _ = get_yeaz_paths(str(tmp_path), choice="phc", split="train")
+        assert again == train_raw
+
+        loader = get_yeaz_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                 choice="phc", split="train", ndim=2)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
