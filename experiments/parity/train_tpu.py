@@ -75,8 +75,11 @@ def main():
         print(f"resuming at iteration {trainer.iteration}, {n_train} to go")
     if n_train > 0:
         trainer.fit(iterations=n_train)
+    trained_iterations = int(trainer.iteration)
 
     # predictions of the best model on the val set, for the shared evaluator
+    # (loading "best" resets trainer.iteration to that checkpoint's step,
+    # so the trained total is captured above)
     trainer.load_checkpoint("best")
     import jax
 
@@ -89,7 +92,8 @@ def main():
     with h5py.File(os.path.join(args.output, "tpu_preds.h5"), "w") as f:
         f.create_dataset("preds", data=preds)
     result = {"side": "torch_em_tpu", "best_val_metric": float(trainer.best_metric),
-              "iterations": int(trainer.iteration)}
+              "iterations": trained_iterations,
+              "best_checkpoint_iteration": int(trainer.iteration)}
     with open(os.path.join(args.output, "tpu_result.json"), "w") as f:
         json.dump(result, f)
     print(json.dumps(result))
