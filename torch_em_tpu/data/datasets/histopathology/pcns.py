@@ -10,7 +10,8 @@ Data DOI https://doi.org/10.7937/TCIA.2019.4A4DKP9U; publication
 https://doi.org/10.1038/s41597-020-0528-1.
 """
 
-import io
+import csv
+import gzip
 import json
 import os
 import shutil
@@ -38,55 +39,64 @@ CANCER_TYPES = [
 ]
 
 
-def _load_crosswalk(path: str):
-    """Parse the TCIA crosswalk readme (Patch-ID -> cancer type)."""
-    import pandas as pd
+def _load_crosswalk(path: str) -> dict:
+    """Patch-ID -> cancer-type mapping from the TCIA crosswalk readme.
 
+    The readme is prose followed by an embedded CSV table whose header row
+    starts with ``Patch-ID,``; some mirrors serve it gzip-compressed without a
+    .gz suffix, so the magic bytes decide how to decode.
+    """
     crosswalk_path = os.path.join(path, "pcns_crosswalk.txt")
     if not os.path.exists(crosswalk_path):
         util.download_source(path=crosswalk_path, url=CROSSWALK_URL, download=True)
 
-    with open(crosswalk_path, "rb") as f:
-        raw = f.read()
-    if raw[:2] == b"\x1f\x8b":
-        import gzip
-        content = gzip.decompress(raw).decode("utf-8")
-    else:
-        content = raw.decode("utf-8")
+    blob = open(crosswalk_path, "rb").read()
+    gzip_magic = blob.startswith(b"\x1f\x8b")
+    text = (gzip.decompress(blob) if gzip_magic else blob).decode("utf-8")
 
-    lines = content.split("\n")
-    csv_start = next((i for i, line in enumerate(lines) if line.startswith("Patch-ID,")), None)
-    if csv_start is None:
+    table = {}
+    reader = None
+    for line in text.splitlines():
+        if reader is None:
+            if line.startswith("Patch-ID,"):
+                header = line.split(",")
+                reader = (header.index("Patch-ID"), header.index("CancerType"))
+            continue
+        cells = next(csv.reader([line]), [])
+        if len(cells) <= max(reader):
+            continue
+        pid, cancer = cells[reader[0]].strip(), cells[reader[1]].strip()
+        if pid and cancer:
+            table[int(float(pid))] = cancer.lower()
+    if reader is None:
         raise RuntimeError("Failed to parse the PCNS crosswalk file. Re-download it and try again.")
-
-    df = pd.read_csv(io.StringIO("\n".join(lines[csv_start:])))
-    df = df.dropna(subset=["Patch-ID", "CancerType"])
-    df["Patch-ID"] = df["Patch-ID"].astype(int)
-    df["CancerType"] = df["CancerType"].str.lower()
-    return df
+    return table
 
 
-def _create_split_csv(path: str, all_patch_ids: List[int], split: str) -> List[int]:
-    """Persist a random 80/20 train/test split of patch ids."""
-    import pandas as pd
-
-    csv_path = os.path.join(path, "pcns_split.csv")
-    if os.path.exists(csv_path):
-        df = pd.read_csv(csv_path)
-        df[split] = df[split].apply(lambda x: json.loads(x.replace("'", '"')))
-        return df.iloc[0][split]
-
-    ids = list(all_patch_ids)
-    np.random.shuffle(ids)
-    n_test = int(round(0.2 * len(ids)))
-    split_ids = {"train": sorted(ids[n_test:]), "test": sorted(ids[:n_test])}
-    pd.DataFrame.from_dict([split_ids]).to_csv(csv_path, index=False)
-    return split_ids[split]
+def _read_or_create_split(path: str, all_patch_ids: List[int], split: str) -> List[int]:
+    """Random 80/20 train/test split of patch ids, persisted as JSON so every
+    later call (and process) sees the same assignment."""
+    split_path = os.path.join(path, "pcns_split.json")
+    if not os.path.exists(split_path):
+        ids = np.random.permutation(sorted(all_patch_ids))
+        n_test = int(round(0.2 * len(ids)))
+        assignment = {"test": sorted(int(i) for i in ids[:n_test]),
+                      "train": sorted(int(i) for i in ids[n_test:])}
+        with open(split_path, "w") as f:
+            json.dump(assignment, f)
+    with open(split_path) as f:
+        return json.load(f)[split]
 
 
-def _create_samples(path: str, extract_dir: str, crosswalk_df) -> str:
-    """Build per-patch h5 files: raw RGB (3, H, W), corrected instance mask,
-    and the three per-annotator masks (zero-filled where absent)."""
+def _sibling_mask(crop_path: str, suffix: str) -> str:
+    return crop_path[: -len("_crop.png")] + suffix
+
+
+def _create_samples(path: str, extract_dir: str, cancer_by_id: dict) -> str:
+    """Build one h5 per annotated patch: raw RGB as (3, H, W), the corrected
+    instance mask under labels/instances, and the three per-annotator
+    agreement masks under labels/common{0,1,2} (zero-filled when an annotator
+    mask is missing, recorded in the ``has_common`` attribute)."""
     import h5py
 
     preprocessed_dir = os.path.join(path, "preprocessed_data")
@@ -94,36 +104,30 @@ def _create_samples(path: str, extract_dir: str, crosswalk_df) -> str:
         return preprocessed_dir
     os.makedirs(preprocessed_dir, exist_ok=True)
 
-    crop_paths = {
-        int(os.path.basename(p).split("_crop")[0]): p
-        for p in glob(os.path.join(extract_dir, "**", "*_crop.png"), recursive=True)
-    }
-    ct_map = {int(row["Patch-ID"]): str(row["CancerType"]).lower()
-              for _, row in crosswalk_df.iterrows()}
-    valid_ids = [pid for pid in crop_paths
-                 if os.path.exists(crop_paths[pid].replace("_crop.png", "_labeled_mask_corrected.png"))]
+    for crop_path in sorted(glob(os.path.join(extract_dir, "**", "*_crop.png"), recursive=True)):
+        if not os.path.exists(_sibling_mask(crop_path, "_labeled_mask_corrected.png")):
+            continue  # only manually corrected patches are part of the dataset
+        patch_id = int(os.path.basename(crop_path).split("_crop")[0])
 
-    for patch_id in sorted(valid_ids):
-        image_path = crop_paths[patch_id]
-        mask_path = image_path.replace("_crop.png", "_labeled_mask_corrected.png")
-        raw = np.asarray(load_image(image_path))[..., :3].transpose(2, 0, 1)
-        mask = np.asarray(load_image(mask_path)).astype(np.int32)
-        h, w = mask.shape
+        rgb = np.asarray(load_image(crop_path))[..., :3]
+        instances = np.asarray(
+            load_image(_sibling_mask(crop_path, "_labeled_mask_corrected.png"))).astype(np.int32)
+        annotator_masks = []
+        for k in range(3):
+            mask_path = _sibling_mask(crop_path, f"_labeled_mask_common{k}.png")
+            annotator_masks.append(
+                np.asarray(load_image(mask_path)).astype(np.int32)
+                if os.path.exists(mask_path) else None)
 
         with h5py.File(os.path.join(preprocessed_dir, f"{patch_id}.h5"), "w") as f:
-            f.create_dataset("raw", data=raw, compression="gzip")
-            f.create_dataset("labels/instances", data=mask, compression="gzip")
-            has_all = True
-            for k in range(3):
-                common_path = image_path.replace("_crop.png", f"_labeled_mask_common{k}.png")
-                if os.path.exists(common_path):
-                    common_mask = np.asarray(load_image(common_path)).astype(np.int32)
-                else:
-                    common_mask = np.zeros((h, w), dtype=np.int32)
-                    has_all = False
-                f.create_dataset(f"labels/common{k}", data=common_mask, compression="gzip")
-            f.attrs["cancer_type"] = ct_map.get(patch_id, "unknown")
-            f.attrs["has_common"] = has_all
+            f.create_dataset("raw", data=rgb.transpose(2, 0, 1), compression="gzip")
+            f.create_dataset("labels/instances", data=instances, compression="gzip")
+            for k, mask in enumerate(annotator_masks):
+                f.create_dataset(
+                    f"labels/common{k}", compression="gzip",
+                    data=np.zeros_like(instances) if mask is None else mask)
+            f.attrs["cancer_type"] = cancer_by_id.get(patch_id, "unknown")
+            f.attrs["has_common"] = all(m is not None for m in annotator_masks)
     return preprocessed_dir
 
 
@@ -151,8 +155,7 @@ def get_pcns_data(path: Union[os.PathLike, str], download: bool = False) -> str:
     with tarfile.open(tar_path, "r:gz") as tar:
         tar.extractall(path=extract_dir)
 
-    crosswalk_df = _load_crosswalk(path)
-    _create_samples(path, extract_dir, crosswalk_df)
+    _create_samples(path, extract_dir, _load_crosswalk(path))
     shutil.rmtree(extract_dir)
     return preprocessed_dir
 
@@ -165,22 +168,20 @@ def get_pcns_paths(path: Union[os.PathLike, str], split: str,
         raise ValueError(f"'{split}' is not a valid split. Choose from 'train' or 'test'.")
 
     preprocessed_dir = get_pcns_data(path, download)
-    crosswalk_df = _load_crosswalk(os.path.normpath(str(path)))
-    split_ids = set(_create_split_csv(os.path.normpath(str(path)),
-                                      crosswalk_df["Patch-ID"].tolist(), split))
+    cancer_by_id = _load_crosswalk(os.path.normpath(str(path)))
+    wanted = set(_read_or_create_split(
+        os.path.normpath(str(path)), list(cancer_by_id), split))
 
     if cancer_type is not None:
-        if isinstance(cancer_type, str):
-            cancer_type = [cancer_type]
-        cancer_type = [ct.lower() for ct in cancer_type]
-        invalid = [ct for ct in cancer_type if ct not in CANCER_TYPES]
+        selected = [cancer_type] if isinstance(cancer_type, str) else list(cancer_type)
+        selected = [ct.lower() for ct in selected]
+        invalid = sorted(set(selected) - set(CANCER_TYPES))
         if invalid:
             raise ValueError(f"Invalid cancer type(s): {invalid}. Choose from {CANCER_TYPES}.")
-        type_ids = set(crosswalk_df[crosswalk_df["CancerType"].isin(cancer_type)]["Patch-ID"].tolist())
-        split_ids = split_ids & type_ids
+        wanted = {pid for pid in wanted if cancer_by_id.get(pid) in selected}
 
-    volume_paths = [os.path.join(preprocessed_dir, f"{pid}.h5") for pid in sorted(split_ids)
-                    if os.path.exists(os.path.join(preprocessed_dir, f"{pid}.h5"))]
+    volume_paths = [os.path.join(preprocessed_dir, f"{pid}.h5") for pid in sorted(wanted)]
+    volume_paths = [p for p in volume_paths if os.path.exists(p)]
     if not volume_paths:
         raise RuntimeError(f"No samples found for split='{split}', cancer_type={cancer_type!r}.")
     return volume_paths

@@ -5,8 +5,9 @@ Simulates slice-level acquisition defects in 3D EM stacks: dropped slices
 line, or undirected smooth warps), and pasted artifacts from a
 SegmentationDataset artifact source with alpha masks (:23-37), selected by
 cumulative probabilities (:72-77). This is a host-side per-sample transform
-(irregular, data-dependent control flow), using numpy/scipy instead of
-skimage (line rasterization and CC implemented locally).
+(irregular, data-dependent control flow). The slice deformations are built
+analytically (vectorized signed-distance geometry) rather than via the
+reference's rasterize-line + connected-components route.
 """
 
 from typing import Optional
@@ -16,7 +17,6 @@ from scipy import ndimage
 
 from ..data.sampler import MinForegroundSampler
 from ..data.segmentation_dataset import SegmentationDataset
-from ..ops import host as ops
 from .augmentation import get_augmentations
 from .raw import standardize
 
@@ -34,13 +34,20 @@ def get_artifact_source(artifact_path, patch_shape, min_mask_fraction, normalize
     )
 
 
-def _draw_line(x0, y0, x1, y1):
-    """Integer coordinates of the line from (x0,y0) to (x1,y1) (Bresenham-ish;
-    functional spec: skimage.draw.line)."""
-    n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
-    rr = np.round(np.linspace(x0, x1, n)).astype(int)
-    cc = np.round(np.linspace(y0, y1, n)).astype(int)
-    return rr, cc
+def _random_cut(shape, rng=np.random):
+    """Sample a random cut through a 2D slice: a segment whose endpoints sit on
+    two opposite borders (rows spanned or columns spanned with equal
+    probability). Returns the first endpoint ``p0`` and the unit direction
+    ``d``, both as (row, col) float vectors."""
+    h, w = shape
+    if rng.rand() < 0.5:  # endpoints on the top/bottom borders
+        p0 = np.array([0.0, rng.randint(1, w - 2)])
+        p1 = np.array([h - 1.0, rng.randint(1, w - 2)])
+    else:  # endpoints on the left/right borders
+        p0 = np.array([rng.randint(1, h - 2), 0.0])
+        p1 = np.array([rng.randint(1, h - 2), w - 1.0])
+    d = p1 - p0
+    return p0, d / np.linalg.norm(d)
 
 
 class EMDefectAugmentation:
@@ -103,61 +110,44 @@ class EMDefectAugmentation:
         return raw
 
     def compress_slice(self, raw):
-        """Missing line of data with the rest compressed towards it (reference :108)."""
-        shape = raw.shape
-        fixed_x = np.random.rand() < 0.5
-        if fixed_x:
-            x0, y0 = 0, np.random.randint(1, shape[1] - 2)
-            x1, y1 = shape[0] - 1, np.random.randint(1, shape[1] - 2)
-        else:
-            x0, y0 = np.random.randint(1, shape[0] - 2), 0
-            x1, y1 = np.random.randint(1, shape[0] - 2), shape[1] - 1
+        """Dead stripe along a random cut, with both half-planes compressed
+        towards it (reference behavior: torch_em/transform/defect.py:105-146).
 
-        line_mask = np.zeros_like(raw, dtype="bool")
-        rr, cc = _draw_line(x0, y0, x1, y1)
-        line_mask[rr, cc] = 1
-
-        line_vector = np.array([x1 - x0, y1 - y0], dtype="float32")
-        line_vector /= np.linalg.norm(line_vector)
-        normal_vector = np.array([-line_vector[1], line_vector[0]])
-
-        x, y = np.meshgrid(np.arange(shape[1]), np.arange(shape[0]))
-        flow_x, flow_y = np.zeros_like(raw), np.zeros_like(raw)
-
-        components = ops.connected_components(np.logical_not(line_mask))
-        if len(np.unique(components)) == 3:
-            neg_val = components[0, 0] if fixed_x else components[-1, -1]
-            pos_val = components[-1, -1] if fixed_x else components[0, 0]
-            flow_x[components == pos_val] = self.deformation_strength * normal_vector[1]
-            flow_y[components == pos_val] = self.deformation_strength * normal_vector[0]
-            flow_x[components == neg_val] = -self.deformation_strength * normal_vector[1]
-            flow_y[components == neg_val] = -self.deformation_strength * normal_vector[0]
-
-        flow_x += np.random.uniform(-1, 1, shape) * (self.deformation_strength / 8.0)
-        flow_y += np.random.uniform(-1, 1, shape) * (self.deformation_strength / 8.0)
-
-        flow_x, flow_y = (x + flow_x).reshape(-1, 1), (y + flow_y).reshape(-1, 1)
+        Fully vectorized: instead of rasterizing the cut and labelling the two
+        half-planes with connected components, the perpendicular signed
+        distance of every pixel to the cut is computed analytically in one
+        broadcast expression — it gives the side (its sign), the compression
+        flow (constant per side, along the cut normal) and the dead stripe
+        (|distance| below the stripe half-width) at once.
+        """
+        h, w = raw.shape
+        p0, d = _random_cut(raw.shape)
+        rows, cols = np.indices(raw.shape, dtype="float32")
+        # perpendicular signed distance to the cut (d is unit length)
+        dist = (rows - p0[0]) * d[1] - (cols - p0[1]) * d[0]
+        # each half-plane samples from beyond itself along the cut normal
+        # (-d[1], d[0]) scaled by its side, so content moves towards the cut
+        side = -np.sign(dist) * self.deformation_strength
+        jitter = self.deformation_strength / 8.0
+        src = np.stack([
+            rows - side * d[1] + np.random.uniform(-jitter, jitter, raw.shape),
+            cols + side * d[0] + np.random.uniform(-jitter, jitter, raw.shape),
+        ])
         cval = 0.0 if self.mean_val is None else self.mean_val
-        raw = ndimage.map_coordinates(
-            raw, (flow_y, flow_x), mode="constant", order=3, cval=cval
-        ).reshape(shape)
-
-        line_mask = ndimage.binary_dilation(line_mask, iterations=10)
-        raw[line_mask] = 0.0
-        return raw
+        warped = ndimage.map_coordinates(raw, src, mode="constant", order=3, cval=cval)
+        # dead stripe: radius-10 band around the cut (reference dilates the
+        # rasterized line 10x; the analytic band is its smooth equivalent)
+        warped[np.abs(dist) <= 10.0] = 0.0
+        return warped
 
     def undirected_deformation(self, raw):
-        shape = raw.shape
-        x, y = np.meshgrid(np.arange(shape[0]), np.arange(shape[1]))
-        flow_x = ndimage.gaussian_filter(
-            np.random.uniform(-1, 1, shape) * self.deformation_strength, sigma=3.0
-        )
-        flow_y = ndimage.gaussian_filter(
-            np.random.uniform(-1, 1, shape) * self.deformation_strength, sigma=3.0
-        )
-        flow_x, flow_y = (x + flow_x).reshape(-1, 1), (y + flow_y).reshape(-1, 1)
-        raw = ndimage.map_coordinates(raw, (flow_y, flow_x), mode="constant").reshape(shape)
-        return raw
+        """Smooth random warp (reference behavior: defect.py:148-160): a
+        uniform white-noise flow field low-passed with a Gaussian (sigma 3 in
+        the spatial axes), applied as a relative displacement."""
+        noise = np.random.uniform(-1.0, 1.0, (2,) + raw.shape) * self.deformation_strength
+        flow = ndimage.gaussian_filter(noise, sigma=(0.0, 3.0, 3.0))
+        src = np.indices(raw.shape, dtype="float64") + flow
+        return ndimage.map_coordinates(raw, src, mode="constant")
 
     def deform_slice(self, raw):
         if self.deformation_mode in ("undirected", "compress"):
