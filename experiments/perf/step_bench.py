@@ -3,9 +3,12 @@ MFU iteration loop. Uses the persistent compile cache and prints ms/it.
 """
 
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 
 def main():

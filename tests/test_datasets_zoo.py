@@ -4399,3 +4399,125 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (2, 1, 32, 32)
         assert y.shape[-2:] == (32, 32)
+
+    def test_nisb_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.electron_microscopy.nisb import (
+            get_nisb_loader, get_nisb_paths)
+        from torch_em_tpu.utils.io import write_data
+
+        rng = np.random.default_rng(90)
+        # cached S3 cubes: <setting>/<split>/seed{i}/data.zarr with img/seg (zyx)
+        for i in range(1):  # val split has one seed cube
+            cube = tmp_path / "base" / "val" / f"seed{i}" / "data.zarr"
+            write_data(str(cube), "img", (rng.random((32, 32, 32)) * 255).astype("uint8"))
+            write_data(str(cube), "seg", rng.integers(0, 8, (32, 32, 32)).astype("uint16"))
+
+        paths = get_nisb_paths(str(tmp_path), setting="base", split="val")
+        assert len(paths) == 1
+
+        loader = get_nisb_loader(str(tmp_path), patch_shape=(8, 16, 16), batch_size=2,
+                                 setting="base", split="val", boundaries=True)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 8, 16, 16)
+        assert y.shape == (2, 1, 8, 16, 16)
+
+    def test_bmgd_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.bmgd import (
+            get_bmgd_loader, get_bmgd_paths)
+
+        rng = np.random.default_rng(91)
+        # extracted archive: "<250 Pa>/image/*.tif" + "<250 Pa>/mask/*.tif"
+        for sub in ("image", "mask"):
+            (tmp_path / "250 Pa" / sub).mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                            ).save(tmp_path / "250 Pa" / "image" / f"im{i}.tif")
+            Image.fromarray((rng.random((64, 64)) > 0.6).astype("uint8") * 255
+                            ).save(tmp_path / "250 Pa" / "mask" / f"im{i}.tif")
+
+        paths = get_bmgd_paths(str(tmp_path), stiffness="250pa")
+        assert len(paths) == 3
+
+        loader = get_bmgd_loader(str(tmp_path), batch_size=2, patch_shape=(32, 32),
+                                 stiffness="250pa")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_brain_organoids_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.light_microscopy.brain_organoids import (
+            get_brain_organoids_loader, get_brain_organoids_paths)
+
+        rng = np.random.default_rng(92)
+        (tmp_path / "data" / "imgs").mkdir(parents=True)
+        (tmp_path / "data" / "labels").mkdir(parents=True)
+        for i in range(3):
+            rgb = (rng.random((64, 64, 3)) * 255).astype("uint8")
+            Image.fromarray(rgb).save(tmp_path / "data" / "imgs" / f"organoid_{i}.png")
+            np.save(tmp_path / "data" / "labels" / f"organoid_{i}.npy",
+                    rng.integers(0, 4, (64, 64)).astype("int64"))
+
+        raw_paths, label_paths = get_brain_organoids_paths(str(tmp_path))
+        assert len(raw_paths) == 3 and len(label_paths) == 3
+        assert all(p.endswith(".tif") for p in label_paths)  # npy -> tif conversion
+
+        loader = get_brain_organoids_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_orgline_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.light_microscopy.orgline import (
+            get_orgline_loader, get_orgline_paths)
+
+        rng = np.random.default_rng(93)
+        # prepared layout: data1/<organ>/<split>/*.h5 with image/masks
+        for organ in ("PDAC", "colon"):
+            for split in ("train", "val"):
+                d = tmp_path / "data1" / organ / split
+                d.mkdir(parents=True)
+                for i in range(2):
+                    with h5py.File(d / f"im{i}.png.h5", "w") as f:
+                        f.create_dataset("image", data=(rng.random((64, 64)) * 255).astype("uint8"))
+                        f.create_dataset("masks", data=rng.integers(0, 5, (64, 64)).astype("uint16"))
+
+        train_paths = get_orgline_paths(str(tmp_path), split="train", organs=["PDAC", "colon"])
+        assert len(train_paths) == 4
+        pdac_only = get_orgline_paths(str(tmp_path), split="val", organs="PDAC")
+        assert len(pdac_only) == 2
+
+        loader = get_orgline_loader(str(tmp_path), batch_size=2, patch_shape=(32, 32),
+                                    split="train", organs="PDAC")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_tissuenet_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.light_microscopy.tissuenet import (
+            get_tissuenet_loader, get_tissuenet_paths)
+
+        rng = np.random.default_rng(94)
+        # manual download: per-split npz with X (n, h, w, 2) and y (n, h, w, 2)
+        np.savez(tmp_path / "tissuenet_v1.1_train.npz",
+                 X=rng.random((3, 64, 64, 2)).astype("float32"),
+                 y=rng.integers(0, 5, (3, 64, 64, 2)).astype("int32"))
+
+        paths = get_tissuenet_paths(str(tmp_path), split="train")
+        assert len(paths) == 3
+        assert all(p.endswith(".zarr") for p in paths)
+
+        loader = get_tissuenet_loader(str(tmp_path), split="train", patch_shape=(32, 32),
+                                      batch_size=2, raw_channel="rgb", label_channel="cell")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+        loader = get_tissuenet_loader(str(tmp_path), split="train", patch_shape=(32, 32),
+                                      batch_size=2, raw_channel="nucleus", label_channel="nucleus")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)

@@ -246,14 +246,17 @@ def _pool2_axis_fwd(x, axis):
 
 def _pool2_axis_bwd(axis, mask, g):
     # Route the full gradient to the left operand on ties (torch-style single
-    # winner). Interleave via stack+reshape: cheaper than the gather/
-    # scatter-add pair XLA picks for the VJP of strided slicing.
+    # winner). Interleave via two interior pads + add: unlike stack+reshape
+    # (whose merge of a non-minor axis pair forces relayout copies around the
+    # pads) interior padding keeps the operand layout.
     ga = jnp.where(mask, g, 0)
     gb = g - ga
-    stacked = jnp.stack([ga, gb], axis=axis + 1)
-    shape = list(g.shape)
-    shape[axis] *= 2
-    return (stacked.reshape(shape),)
+    cfg = [(0, 0, 0)] * g.ndim
+    cfg_a, cfg_b = list(cfg), list(cfg)
+    cfg_a[axis] = (0, 1, 1)  # even positions
+    cfg_b[axis] = (1, 0, 1)  # odd positions
+    zero = jnp.zeros((), g.dtype)
+    return (jax.lax.pad(ga, zero, cfg_a) + jax.lax.pad(gb, zero, cfg_b),)
 
 
 _pool2_axis.defvjp(_pool2_axis_fwd, _pool2_axis_bwd)
@@ -546,14 +549,39 @@ def _mask_shifted(x, c, e=0):
     return x * jnp.asarray(mh, x.dtype) * jnp.asarray(mw, x.dtype)
 
 
+@jax.custom_vjp
+def _groupmax4(y5):
+    return jnp.max(y5, axis=3)
+
+
+def _groupmax4_fwd(y5):
+    m = jnp.max(y5, axis=3)
+    return m, (y5, m)
+
+
+def _groupmax4_bwd(res, g):
+    # Gradient to EVERY argmax position, with no tie normalization: one eq +
+    # one masked broadcast-multiply, where jax's reduce_max AD adds a tie
+    # count (convert + reduce_sum + div) — three more full-tensor passes.
+    # Ties between phase groups occur at post-ReLU zeros, where the upstream
+    # ReLU backward zeroes the duplicated gradient anyway; positive-value
+    # ties are measure-zero on continuous activations.
+    y5, m = res
+    return (jnp.where(y5 == m[:, :, :, None, :], g[:, :, :, None, :], 0),)
+
+
+_groupmax4.defvjp(_groupmax4_fwd, _groupmax4_bwd)
+
+
 def _pool2x2_phase(y):
     """2x2 max pool of an ALIGNED phase tensor: the window IS the phase
     block, so the pool is a max over the 4 phase groups -> (B, Hb, Wb, C)
     unpacked at the pooled resolution. (Lane-slice maxima measured ~1.4
     ms/step slower, and a custom tie-splitting VJP ~0.7 ms/step slower,
-    than this reshape+reduce with AD on the CREMI bench.)"""
+    than this reshape+reduce on the CREMI bench; the _groupmax4 custom VJP
+    only replaces the backward's tie-splitting arithmetic.)"""
     b, hb, wb, c4 = y.shape
-    return jnp.max(y.reshape(b, hb, wb, 4, c4 // 4), axis=3)
+    return _groupmax4(y.reshape(b, hb, wb, 4, c4 // 4))
 
 
 def _upsample2x_to_phase(x):
