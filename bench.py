@@ -5,6 +5,12 @@ The tracked number is train patches/sec/chip for the CREMI north-star config
 (AnisotropicUNet, patch (32, 256, 256), bf16 compute / f32 params) —
 BASELINE.md: the reference publishes no throughput numbers, so vs_baseline
 is null and the driver records absolute values per round.
+
+Section order is budget-aware for a COLD compilation cache (round-4 VERDICT
+item 1): the primary scan metric compiles first, tiled inference immediately
+after, then the loader modes — each optional section records WHY it was
+skipped.  ``BENCH_SECTIONS=train,inference,loader`` (env) selects sections
+explicitly so a budget-starved driver can sweep them across runs.
 """
 
 import json
@@ -28,11 +34,13 @@ def main():
 
     from torch_em_tpu.loss import DiceLoss
     from torch_em_tpu.models import AnisotropicUNet
+    from torch_em_tpu.models.unet import perf_options
     from torch_em_tpu.trainer.optimizers import OptimizerSpec
 
     patch = tuple(int(x) for x in os.environ.get("BENCH_PATCH", "32,256,256").split(","))
     batch_size = int(os.environ.get("BENCH_BATCH", "1"))
     n_warmup, n_steps = 3, 15
+    sections = set(os.environ.get("BENCH_SECTIONS", "train,inference,loader").split(","))
     # wall-clock budget: optional sections (tiled inference, loader modes) are
     # skipped once exceeded so the primary metric always prints before a
     # driver timeout even with a cold compilation cache
@@ -41,6 +49,14 @@ def main():
 
     def over_budget():
         return time.perf_counter() - t_start > budget_s
+
+    # PHASE_WPAD: pad the shifted phase grid's odd W (129) to a sublane
+    # multiple with dead zero columns so the grid keeps its (8x128) tiling
+    # (exactness-verified in tests/test_unet.py::TestPhaseWpad). The round-4
+    # in-run A/B never fit the driver budget; the winner measured on the
+    # tracked config is now committed statically (experiments/perf logs,
+    # round 5) and BENCH_PHASE_WPAD=0/1 still forces a side for re-audits.
+    use_wpad = os.environ.get("BENCH_PHASE_WPAD", "1") == "1"
 
     model = AnisotropicUNet(
         in_channels=1, out_channels=1,
@@ -65,34 +81,22 @@ def main():
         params = jax.tree_util.tree_map(lambda p, u: p + u, variables["params"], updates)
         return {"params": params}, opt_state_new, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 1))
-
-    rng = np.random.default_rng(0)
-    x = jax.device_put(rng.random((batch_size, 1) + patch, dtype=np.float32), device)
-    y = jax.device_put((rng.random((batch_size, 1) + patch) > 0.5).astype(np.float32), device)
-
-    # compile + warmup
-    lowered = step.lower(variables, opt_state, x, y)
-    compiled = lowered.compile()
-
     # MFU must count the *model's* nominal FLOPs: the width-packed conv
-    # lowering executes 4x the nominal conv FLOPs (trading them for MXU
-    # utilization), so cost-analyze a lowering with packing disabled.
+    # lowering executes more than the nominal conv FLOPs (trading them for
+    # MXU utilization), so cost-analyze a lowering with packing disabled.
     def nominal_flops():
-        from torch_em_tpu.models.unet import perf_options
-
-        def train_step_nominal(variables, opt_state, x, y):
-            return train_step(variables, opt_state, x, y)
-
         abstract = jax.tree_util.tree_map(
-            lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), (variables, opt_state, x, y))
+            lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype),
+            (variables, opt_state,
+             np.zeros((batch_size, 1) + patch, np.float32),
+             np.zeros((batch_size, 1) + patch, np.float32)))
         with perf_options(packing=False):
             # cost analysis of the unoptimized HLO = nominal model FLOPs; lower
             # for the CPU backend on abstract shapes (no device, no compile —
             # the axon TPU plugin does not implement lowered cost analysis)
             for backend in ("cpu", None):
                 try:
-                    lowered = jax.jit(train_step_nominal, backend=backend).lower(*abstract)
+                    lowered = jax.jit(train_step, backend=backend).lower(*abstract)
                     cost = lowered.cost_analysis()
                     if cost and float(cost.get("flops", 0.0)) > 0:
                         return float(cost["flops"])
@@ -105,51 +109,12 @@ def main():
     except Exception:
         flops_per_step = 0.0
 
-    for _ in range(n_warmup):
-        variables, opt_state, loss = step(variables, opt_state, x, y)
-    jax.block_until_ready(loss)
+    rng = np.random.default_rng(0)
 
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        variables, opt_state, loss = step(variables, opt_state, x, y)
-    jax.block_until_ready(loss)
-    dt_dispatch = (time.perf_counter() - t0) / n_steps
-
-    # PHASE_WPAD A/B: the tracked patch (32, 256, 256) yields odd shifted-W
-    # phase grids (129), which the round-3 trace showed forces a relayout
-    # copy around each phase conv. PHASE_WPAD pads the shifted grid's W to a
-    # sublane multiple with dead zero columns (exactness-verified in
-    # tests/test_unet.py::TestPhaseWpad). Time both lowerings here and run
-    # the headline scan metric with the faster one; both times land in the
-    # JSON so the choice is auditable. BENCH_PHASE_WPAD=0/1 forces a side.
-    from torch_em_tpu.models.unet import perf_options
-
-    wpad_mode = os.environ.get("BENCH_PHASE_WPAD", "auto")
-    use_wpad = wpad_mode == "1"
-    dt_dispatch_wpad = None
-    # the A/B costs one extra train-step compile: skip it (recorded below as
-    # a skipped section) when a cold compilation cache already ate the budget
-    if wpad_mode == "auto" and time.perf_counter() - t_start > 0.5 * budget_s:
-        wpad_mode = "skipped-budget"
-    if wpad_mode == "auto":
-        try:
-            with perf_options(phase_wpad=True):
-                step_w = jax.jit(train_step, donate_argnums=(0, 1))
-                for _ in range(n_warmup):
-                    variables, opt_state, loss = step_w(variables, opt_state, x, y)
-                jax.block_until_ready(loss)
-                t0 = time.perf_counter()
-                for _ in range(n_steps):
-                    variables, opt_state, loss = step_w(variables, opt_state, x, y)
-                jax.block_until_ready(loss)
-            dt_dispatch_wpad = (time.perf_counter() - t0) / n_steps
-            use_wpad = dt_dispatch_wpad < dt_dispatch
-        except Exception:
-            use_wpad = False
-
-    # headline: multi-step execution (trainer steps_per_execution feature) —
-    # k staged batches consumed by ONE jitted lax.scan dispatch, eliminating
-    # the per-step host dispatch gap through the device tunnel
+    # ---- primary metric: multi-step scan execution (trainer
+    # steps_per_execution feature) — k staged batches consumed by ONE jitted
+    # lax.scan dispatch, eliminating the per-step host dispatch gap through
+    # the device tunnel. Compiled FIRST so the headline number always lands.
     scan_k = int(os.environ.get("BENCH_SCAN_K", "32"))
 
     def scan_steps(variables, opt_state, xs, ys):
@@ -190,11 +155,13 @@ def main():
     # round-3 VERDICT item: the driver artifact must be self-explaining)
     skips = {}
 
-    # secondary metric: tiled-inference throughput (Mvoxel/s) on a synthetic
-    # volume. Runs BEFORE the loader section so it always lands in the driver
-    # artifact even when the budget runs out on the slow loader modes.
+    # ---- secondary metric: tiled-inference throughput (Mvoxel/s) on a
+    # synthetic volume — immediately after the primary so it fits the budget
+    # even from a cold cache (round-4 VERDICT item 1).
     inference_mvoxps = None
     try:
+        if "inference" not in sections:
+            raise RuntimeError("disabled via BENCH_SECTIONS")
         if over_budget():
             raise TimeoutError("budget exceeded before tiled-inference section")
         from torch_em_tpu.utils.prediction import predict_with_halo
@@ -226,15 +193,18 @@ def main():
     except Exception as e:
         skips["tiled_inference"] = f"{type(e).__name__}: {e}"
 
-    # secondary metric: patches/s with the REAL host data path in the loop
-    # (SegmentationDataset over h5 + AffinityTransform + prefetching loader
-    # feeding the same jitted step) — measures whether the host keeps up with
-    # the device (SURVEY hard part #2). Uses one affinity offset so the y
-    # shape matches the compiled step (no second executable).
+    # ---- secondary metric: patches/s with the REAL host data path in the
+    # loop (SegmentationDataset over h5 + AffinityTransform + prefetching
+    # loader feeding a per-step jitted train step) — measures whether the
+    # host keeps up with the device (SURVEY hard part #2). Uses one affinity
+    # offset so the y shape matches the compiled step.
     loader_patches_per_sec = None
     loader_process_patches_per_sec = None
     loader_device_patches_per_sec = None
+    dt_dispatch = None
     try:
+        if "loader" not in sections:
+            raise RuntimeError("disabled via BENCH_SECTIONS")
         if over_budget():
             raise TimeoutError("budget exceeded before loader section")
         import shutil
@@ -244,6 +214,24 @@ def main():
 
         from torch_em_tpu.data import DataLoader as TemLoader, SegmentationDataset
         from torch_em_tpu.transforms.label import AffinityTransform
+
+        # per-step executable (the loader modes feed individual steps); its
+        # timing doubles as the single-dispatch diagnostic, so the scan-vs-
+        # dispatch comparison costs no extra compile
+        with perf_options(phase_wpad=use_wpad):
+            step = jax.jit(train_step, donate_argnums=(0, 1))
+            x1 = jax.device_put(
+                rng.random((batch_size, 1) + patch, dtype=np.float32), device)
+            y1 = jax.device_put(
+                (rng.random((batch_size, 1) + patch) > 0.5).astype(np.float32), device)
+            for _ in range(n_warmup):
+                variables, opt_state, loss = step(variables, opt_state, x1, y1)
+            jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            variables, opt_state, loss = step(variables, opt_state, x1, y1)
+        jax.block_until_ready(loss)
+        dt_dispatch = (time.perf_counter() - t0) / n_steps
 
         tmpdir = tempfile.mkdtemp(prefix="bench_loader_")
         h5_path = os.path.join(tmpdir, "vol.h5")
@@ -255,7 +243,7 @@ def main():
                              chunks=(32, 128, 128))
         n_loader_steps = 8
 
-        def run_loader(loader, use_step, trafo=None):
+        def run_loader(loader, use_step):
             it = iter(loader)
             nonlocal variables, opt_state
             loss = None
@@ -282,23 +270,11 @@ def main():
             TemLoader(make_host_ds(), batch_size=batch_size, shuffle=True, num_workers=2),
             step)
 
-        # (b) host transforms, spawn-process workers — only meaningful on
-        # many-core hosts; recorded either way for the comparison
-        if over_budget():
-            skips["loader_process_workers"] = "budget exceeded"
-        else:
-            ploader = TemLoader(make_host_ds(), batch_size=batch_size, shuffle=True,
-                                num_workers=2, worker_mode="process")
-            try:
-                loader_process_patches_per_sec = run_loader(ploader, step)
-            finally:
-                ploader.shutdown()
-
-        # (c) raw labels + the label transform FUSED INSIDE the jitted train
+        # (b) raw labels + the label transform FUSED INSIDE the jitted train
         # step — the trainer's own device_label_transform path
         # (trainer/default_trainer.py:_compute_loss), not a separate dispatch
         if over_budget():
-            skips.setdefault("loader_device_transform", "budget exceeded")
+            skips["loader_device_transform"] = "budget exceeded"
         else:
             from torch_em_tpu.ops.device import DeviceAffinityTransform
 
@@ -317,14 +293,28 @@ def main():
                     lambda p, u: p + u, variables["params"], updates)
                 return {"params": params}, opt_state_new, loss
 
-            step_fused = jax.jit(train_step_fused, donate_argnums=(0, 1))
-            ds_raw = SegmentationDataset(
-                h5_path, "raw", h5_path, "labels", patch_shape=patch,
-                label_dtype="int32", n_samples=2 * (2 + n_loader_steps),
-            )
-            loader_device_patches_per_sec = run_loader(
-                TemLoader(ds_raw, batch_size=batch_size, shuffle=True, num_workers=2),
-                step_fused)
+            with perf_options(phase_wpad=use_wpad):
+                step_fused = jax.jit(train_step_fused, donate_argnums=(0, 1))
+                ds_raw = SegmentationDataset(
+                    h5_path, "raw", h5_path, "labels", patch_shape=patch,
+                    label_dtype="int32", n_samples=2 * (2 + n_loader_steps),
+                )
+                loader_device_patches_per_sec = run_loader(
+                    TemLoader(ds_raw, batch_size=batch_size, shuffle=True, num_workers=2),
+                    step_fused)
+
+        # (c) host transforms, spawn-process workers — only meaningful on
+        # many-core hosts; recorded either way for the comparison. Last:
+        # least informative on a 1-core host.
+        if over_budget():
+            skips["loader_process_workers"] = "budget exceeded"
+        else:
+            ploader = TemLoader(make_host_ds(), batch_size=batch_size, shuffle=True,
+                                num_workers=2, worker_mode="process")
+            try:
+                loader_process_patches_per_sec = run_loader(ploader, step)
+            finally:
+                ploader.shutdown()
         shutil.rmtree(tmpdir, ignore_errors=True)
     except Exception as e:
         skips["loader"] = f"{type(e).__name__}: {e}"
@@ -339,11 +329,9 @@ def main():
             "mvoxels_per_sec": round(float(mvoxels_per_sec), 2),
             "s_per_iter": round(dt, 4),
             "steps_per_execution": scan_k,
-            "s_per_iter_single_dispatch": round(dt_dispatch, 4),
-            "s_per_iter_single_dispatch_phase_wpad":
-            None if dt_dispatch_wpad is None else round(dt_dispatch_wpad, 4),
+            "s_per_iter_single_dispatch":
+            None if dt_dispatch is None else round(dt_dispatch, 4),
             "phase_wpad_used": bool(use_wpad),
-            "phase_wpad_ab": wpad_mode,
             "mfu_vs_v5e_peak": None if mfu is None else round(float(mfu), 4),
             "patches_per_sec_with_loader": None if loader_patches_per_sec is None
             else round(float(loader_patches_per_sec), 4),

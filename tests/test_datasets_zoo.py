@@ -4521,3 +4521,736 @@ class TestZooLayouts:
                                       batch_size=2, raw_channel="nucleus", label_channel="nucleus")
         x, y = next(iter(loader))
         assert x.shape == (2, 1, 32, 32)
+
+    def test_abus_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.abus import (
+            get_abus_loader, get_abus_paths)
+
+        rng = np.random.default_rng(95)
+        # kaggle MT_Small_Dataset: <Category>/{Original_,Fuzzy_,Ground_Truth_}<Category>/*.png
+        for cname in ("Benign", "Malignant"):
+            for sub in (f"Original_{cname}", f"Fuzzy_{cname}", f"Ground_Truth_{cname}"):
+                d = tmp_path / "MT_Small_Dataset" / cname / sub
+                d.mkdir(parents=True)
+                for i in range(2):
+                    Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                                    ).save(d / f"case{i}.png")
+
+        image_paths, gt_paths = get_abus_paths(str(tmp_path), category="benign")
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+        fuzzy_paths, _ = get_abus_paths(str(tmp_path), category="malign", image_choice="fuzzy")
+        assert len(fuzzy_paths) == 2 and "Fuzzy_Malignant" in fuzzy_paths[0]
+        with pytest.raises(ValueError):
+            get_abus_paths(str(tmp_path), category="not-a-category")
+
+        loader = get_abus_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                 category="benign")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_acouslic_ai_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.acouslic_ai import (
+            get_acouslic_ai_loader, get_acouslic_ai_paths)
+        from torch_em_tpu.utils.medical_io import save_mha
+
+        rng = np.random.default_rng(96)
+        im_dir = tmp_path / "data" / "images" / "stacked_fetal_ultrasound"
+        gt_dir = tmp_path / "data" / "masks" / "stacked_fetal_abdomen"
+        im_dir.mkdir(parents=True)
+        gt_dir.mkdir(parents=True)
+        for i in range(2):
+            save_mha(str(im_dir / f"case{i}.mha"), rng.random((12, 48, 48)).astype("float32"))
+            save_mha(str(gt_dir / f"case{i}.mha"), rng.integers(0, 3, (12, 48, 48)).astype("uint8"))
+
+        image_paths, gt_paths = get_acouslic_ai_paths(str(tmp_path))
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+
+        loader = get_acouslic_ai_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_amd_sd_layout(self, tmp_path):
+        import zipfile
+
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.amd_sd import (
+            MAPPING_IDS, get_amd_sd_loader, get_amd_sd_paths)
+
+        rng = np.random.default_rng(97)
+        # figshare zip: AMD-SD/images/<patient>/*.png side-by-side image|annotation;
+        # the module splits them and maps the RGB annotation colors to label ids
+        src = tmp_path / "src" / "AMD-SD" / "images"
+        colors = list(MAPPING_IDS) + [(0, 0, 0)]
+        for pid in range(3):
+            d = src / f"patient{pid:03d}"
+            d.mkdir(parents=True)
+            for i in range(2):
+                im = (rng.random((32, 32, 3)) * 255).astype("uint8")
+                ann = np.array(colors, dtype="uint8")[
+                    rng.integers(0, len(colors), (32, 32))]
+                Image.fromarray(np.concatenate([im, ann], axis=1)).save(d / f"b{i}.png")
+        zip_path = tmp_path / "AMD-SD.zip"
+        with zipfile.ZipFile(zip_path, "w") as z:
+            for f in sorted(src.rglob("*.png")):
+                z.write(f, f.relative_to(tmp_path / "src"))
+
+        # patients split 100/15/rest -> with 3 fabricated patients only train is non-empty
+        raw_paths, label_paths = get_amd_sd_paths(str(tmp_path), split="train")
+        assert len(raw_paths) == 6 and len(label_paths) == 6
+        with pytest.raises(ValueError):
+            get_amd_sd_paths(str(tmp_path), split="not-a-split")
+        lab = np.asarray(Image.open(label_paths[0]))
+        assert lab.ndim == 2 and lab.max() <= 5
+
+        loader = get_amd_sd_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                   split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_autopet_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.autopet import (
+            get_autopet_loader, get_autopet_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(98)
+        # nifti.zip layout: AutoPET-II/FDG-PET-CT-Lesions/<patient>/<study>/{CTres,SUV,SEG}.nii.gz
+        for pid in range(2):
+            d = tmp_path / "AutoPET-II" / "FDG-PET-CT-Lesions" / f"PETCT_{pid}" / "study0"
+            d.mkdir(parents=True)
+            save_nifti(str(d / "CTres.nii.gz"), rng.random((12, 48, 48)).astype("float32"))
+            save_nifti(str(d / "SUV.nii.gz"), rng.random((12, 48, 48)).astype("float32"))
+            save_nifti(str(d / "SEG.nii.gz"), rng.integers(0, 2, (12, 48, 48)).astype("uint8"))
+
+        raw_paths, label_paths = get_autopet_paths(str(tmp_path), modality="CT")
+        assert len(raw_paths) == 2 and len(label_paths) == 2
+        both_paths, _ = get_autopet_paths(str(tmp_path))
+        assert len(both_paths) == 2 and len(both_paths[0]) == 2
+        with pytest.raises(ValueError):
+            get_autopet_paths(str(tmp_path), modality="MRI")
+
+        loader = get_autopet_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1,
+                                    modality="CT")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+        # stacked PET/CT channels
+        loader = get_autopet_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 2, 8, 32, 32)
+
+    def test_btcv_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.btcv import (
+            get_btcv_loader, get_btcv_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(99)
+        # manually downloaded synapse zips, unpacked: <Anatomy>/RawData/Training/{img,label}
+        for region in ("Abdomen", "Cervix"):
+            im_dir = tmp_path / region / "RawData" / "Training" / "img"
+            gt_dir = tmp_path / region / "RawData" / "Training" / "label"
+            im_dir.mkdir(parents=True)
+            gt_dir.mkdir(parents=True)
+            for i in range(2):
+                save_nifti(str(im_dir / f"img{i:04d}.nii.gz"),
+                           rng.random((12, 48, 48)).astype("float32"))
+                save_nifti(str(gt_dir / f"label{i:04d}.nii.gz"),
+                           rng.integers(0, 5, (12, 48, 48)).astype("uint8"))
+
+        raw_paths, label_paths = get_btcv_paths(str(tmp_path), anatomy="Abdomen")
+        assert len(raw_paths) == 2 and len(label_paths) == 2
+        all_raw, _ = get_btcv_paths(str(tmp_path))  # auto-detects both anatomies
+        assert len(all_raw) == 4
+        with pytest.raises(NotImplementedError):
+            get_btcv_paths(str(tmp_path), anatomy="Abdomen", download=True)
+
+        loader = get_btcv_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1,
+                                 anatomy="Abdomen")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_camus_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.camus import (
+            get_camus_loader, get_camus_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(100)
+        # database_nifti/<patient>/<patient>_{2CH,4CH}_half_sequence(_gt).nii.gz
+        for pid in (1, 2):
+            d = tmp_path / "database_nifti" / f"patient{pid:04d}"
+            d.mkdir(parents=True)
+            for ch in ("2CH", "4CH"):
+                save_nifti(str(d / f"patient{pid:04d}_{ch}_half_sequence.nii.gz"),
+                           rng.random((8, 48, 48)).astype("float32"))
+                save_nifti(str(d / f"patient{pid:04d}_{ch}_half_sequence_gt.nii.gz"),
+                           rng.integers(0, 4, (8, 48, 48)).astype("uint8"))
+
+        image_paths, gt_paths = get_camus_paths(str(tmp_path))
+        assert len(image_paths) == 4 and len(gt_paths) == 4
+        two_ch, _ = get_camus_paths(str(tmp_path), chamber=2)
+        assert len(two_ch) == 2 and all("_2CH_" in p for p in two_ch)
+
+        loader = get_camus_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                  chamber=4)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        assert y.shape[-3:] == (4, 32, 32)
+
+    def test_cbis_ddsm_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.cbis_ddsm import (
+            get_cbis_ddsm_loader, get_cbis_ddsm_paths)
+
+        rng = np.random.default_rng(101)
+        # kaggle DATA/<task>/<Train|Test>/<tumour_type>/*_{FULL,MASK}_*.png
+        for task in ("Calc", "Mass"):
+            d = tmp_path / "DATA" / task / "Train" / "MALIGNANT"
+            d.mkdir(parents=True)
+            for i in range(2):
+                Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                                ).save(d / f"case{i}_FULL_1.png")
+                Image.fromarray((rng.random((64, 64)) > 0.7).astype("uint8") * 255
+                                ).save(d / f"case{i}_MASK_1.png")
+
+        # the published Train folder is re-split: first 125 pairs -> Val
+        image_paths, gt_paths = get_cbis_ddsm_paths(str(tmp_path), split="Val", task="Calc")
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+        train_paths, _ = get_cbis_ddsm_paths(str(tmp_path), split="Train", task="Calc")
+        assert len(train_paths) == 0
+        both, _ = get_cbis_ddsm_paths(str(tmp_path), split="Val",
+                                      tumour_type="MALIGNANT")
+        assert len(both) == 4
+        with pytest.raises(ValueError):
+            get_cbis_ddsm_paths(str(tmp_path), split="not-a-split")
+
+        loader = get_cbis_ddsm_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                      split="Val", task="Mass")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_chaos_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.chaos import (
+            get_chaos_loader, get_chaos_paths)
+        from torch_em_tpu.utils.medical_io import load_nifti
+
+        rng = np.random.default_rng(102)
+        # Train_Sets/CT/<id>/{DICOM_anon,Ground}/ slices; MR/<id>/{T1DUAL,T2SPIR}
+        # (the preprocessing stacks slices to nifti; png slices drive the
+        # non-dicom fallback without pydicom)
+        base = tmp_path / "data" / "Train_Sets"
+        for uid in ("1", "2"):
+            ct = base / "CT" / uid
+            (ct / "DICOM_anon").mkdir(parents=True)
+            (ct / "Ground").mkdir(parents=True)
+            for i in range(4):
+                Image.fromarray((rng.random((48, 48)) * 255).astype("uint8")
+                                ).save(ct / "DICOM_anon" / f"i{i}.png")
+                Image.fromarray((rng.random((48, 48)) > 0.6).astype("uint8") * 63
+                                ).save(ct / "Ground" / f"i{i}.png")
+            mr = base / "MR" / uid
+            (mr / "T1DUAL" / "DICOM_anon" / "InPhase").mkdir(parents=True)
+            (mr / "T1DUAL" / "Ground").mkdir(parents=True)
+            (mr / "T2SPIR" / "DICOM_anon").mkdir(parents=True)
+            (mr / "T2SPIR" / "Ground").mkdir(parents=True)
+            for i in range(4):
+                for im_d, gt_d in ((mr / "T1DUAL" / "DICOM_anon" / "InPhase",
+                                    mr / "T1DUAL" / "Ground"),
+                                   (mr / "T2SPIR" / "DICOM_anon", mr / "T2SPIR" / "Ground")):
+                    Image.fromarray((rng.random((48, 48)) * 255).astype("uint8")
+                                    ).save(im_d / f"i{i}.png")
+                    Image.fromarray((rng.random((48, 48)) > 0.6).astype("uint8") * 63
+                                    ).save(gt_d / f"i{i}.png")
+
+        image_paths, gt_paths = get_chaos_paths(str(tmp_path), modality="CT")
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+        assert load_nifti(image_paths[0]).shape == (48, 48, 4)
+        mr_imgs, _ = get_chaos_paths(str(tmp_path), modality="MRI")
+        assert len(mr_imgs) == 4  # T1DUAL + T2SPIR per patient
+        with pytest.raises(ValueError):
+            get_chaos_paths(str(tmp_path), modality="PET")
+
+        loader = get_chaos_loader(str(tmp_path), patch_shape=(32, 32, 4), batch_size=1,
+                                  modality="CT")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 32, 32, 4)
+
+    def test_cholecseg8k_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.cholecseg8k import (
+            LABEL_MAPS, get_cholecseg8k_loader, get_cholecseg8k_paths)
+
+        rng = np.random.default_rng(103)
+        # kaggle: data/video<NN>/video<NN>_<frame>/*_endo.png + watershed masks
+        colors = list(LABEL_MAPS)
+        for vid in range(1, 6):
+            d = tmp_path / "data" / f"video{vid:02d}" / f"video{vid:02d}_00080"
+            d.mkdir(parents=True)
+            for i in range(2):
+                rgb = (rng.random((32, 32, 3)) * 255).astype("uint8")
+                Image.fromarray(rgb).save(d / f"frame_{i}_endo.png")
+                mask = np.array(colors, dtype="uint8")[
+                    rng.integers(0, len(colors), (32, 32))]
+                Image.fromarray(mask).save(d / f"frame_{i}_endo_watershed_mask.png")
+
+        # 5 videos: train = middle 1, val/test = the outer pairs
+        image_paths, gt_paths = get_cholecseg8k_paths(str(tmp_path), split="train")
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+        val_imgs, _ = get_cholecseg8k_paths(str(tmp_path), split="val")
+        assert len(val_imgs) == 4
+        with pytest.raises(ValueError):
+            get_cholecseg8k_paths(str(tmp_path), split="not-a-split")
+        lab = np.asarray(Image.open(gt_paths[0]))
+        assert lab.ndim == 2 and lab.max() <= 12
+
+        loader = get_cholecseg8k_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                        split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_covid19_seg_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.covid19_seg import (
+            get_covid19_seg_loader, get_covid19_seg_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(104)
+        im_dir = tmp_path / "images" / "COVID-19-CT-Seg_20cases"
+        gt_dir = tmp_path / "gt" / "Lung_Mask"
+        im_dir.mkdir(parents=True)
+        gt_dir.mkdir(parents=True)
+        for i in range(2):
+            save_nifti(str(im_dir / f"case{i}.nii.gz"),
+                       rng.random((12, 48, 48)).astype("float32"))
+            save_nifti(str(gt_dir / f"case{i}.nii.gz"),
+                       rng.integers(0, 3, (12, 48, 48)).astype("uint8"))
+
+        image_paths, gt_paths = get_covid19_seg_paths(str(tmp_path), task="lung")
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+        with pytest.raises(AssertionError):
+            get_covid19_seg_paths(str(tmp_path), task="not-a-task")
+
+        loader = get_covid19_seg_loader(str(tmp_path), patch_shape=(8, 32, 32),
+                                        batch_size=1, task="lung")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_covid_qu_ex_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.covid_qu_ex import (
+            get_covid_qu_ex_loader, get_covid_qu_ex_paths)
+
+        rng = np.random.default_rng(105)
+        base = (tmp_path / "data" / "Lung Segmentation Data" / "Lung Segmentation Data"
+                / "Train")
+        for ptype in ("COVID-19", "Normal"):
+            for sub in ("images", "lung masks"):
+                d = base / ptype / sub
+                d.mkdir(parents=True)
+                for i in range(2):
+                    Image.fromarray((rng.random((48, 48)) * 255).astype("uint8")
+                                    ).save(d / f"im{i}.png")
+
+        image_paths, gt_paths = get_covid_qu_ex_paths(
+            str(tmp_path), split="train", task="lung", patient_type="covid19")
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+        all_imgs, _ = get_covid_qu_ex_paths(str(tmp_path), split="train", task="lung")
+        assert len(all_imgs) == 4
+        with pytest.raises(ValueError):
+            get_covid_qu_ex_paths(str(tmp_path), split="train", task="not-a-task")
+        with pytest.raises(AssertionError):
+            get_covid_qu_ex_paths(str(tmp_path), split="train", task="lung",
+                                  segmentation_mask="infection")
+
+        loader = get_covid_qu_ex_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                        split="train", task="lung", patient_type="normal")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_ct_cadaiver_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.ct_cadaiver import (
+            get_ct_cadaiver_loader, get_ct_cadaiver_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(106)
+        im_dir = tmp_path / "CadAIver study" / "Images"
+        gt_dir = tmp_path / "CadAIver study" / "Segmentations"
+        im_dir.mkdir(parents=True)
+        gt_dir.mkdir(parents=True)
+        for i in range(2):
+            save_nifti(str(im_dir / f"case{i}.nii.gz"),
+                       rng.random((12, 48, 48)).astype("float32"))
+            save_nifti(str(gt_dir / f"case{i}_seg.nii.gz"),
+                       rng.integers(0, 5, (12, 48, 48)).astype("uint8"))
+
+        raw_paths, label_paths = get_ct_cadaiver_paths(str(tmp_path))
+        assert len(raw_paths) == 2 and len(label_paths) == 2
+        assert all(p.endswith("_seg.nii.gz") for p in label_paths)
+
+        loader = get_ct_cadaiver_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_curvas_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.curvas import (
+            get_curvas_loader, get_curvas_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(107)
+        # training_set/<patient>/{image,annotation_1..3}.nii.gz; the module
+        # converts each patient to an h5 with raw + three rater groups
+        for pid in ("UKCHLL001", "UKCHLL002"):
+            d = tmp_path / "training_set" / pid
+            d.mkdir(parents=True)
+            save_nifti(str(d / "image.nii.gz"), rng.random((48, 48, 12)).astype("float32"))
+            for i in (1, 2, 3):
+                save_nifti(str(d / f"annotation_{i}.nii.gz"),
+                           rng.integers(0, 4, (48, 48, 12)).astype("float32"))
+
+        paths = get_curvas_paths(str(tmp_path))
+        assert len(paths) == 2 and all(p.endswith("data.h5") for p in paths)
+        import h5py
+        with h5py.File(paths[0], "r") as f:
+            assert f["raw"].shape == (12, 48, 48)
+            assert set(f["labels"]) == {"rater_1", "rater_2", "rater_3"}
+
+        loader = get_curvas_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1,
+                                   rater="2")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_dca1_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.dca1 import (
+            get_dca1_loader, get_dca1_paths)
+
+        rng = np.random.default_rng(108)
+        d = tmp_path / "Database_134_Angiograms"
+        d.mkdir(parents=True)
+        for i in range(1, 4):
+            Image.fromarray((rng.random((64, 64)) * 255).astype("uint8")
+                            ).save(d / f"{i}.pgm")
+            Image.fromarray((rng.random((64, 64)) > 0.7).astype("uint8") * 255
+                            ).save(d / f"{i}_gt.pgm")
+
+        image_paths, gt_paths = get_dca1_paths(str(tmp_path), split="train")
+        assert len(image_paths) == 3 and len(gt_paths) == 3
+        assert all(p.endswith("_gt.pgm") for p in gt_paths)
+        with pytest.raises(ValueError):
+            get_dca1_paths(str(tmp_path), split="not-a-split")
+
+        loader = get_dca1_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                 split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_dsad_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.dsad import (
+            get_dsad_loader, get_dsad_paths)
+
+        rng = np.random.default_rng(109)
+        # data/<organ>/<sequence>/image##.png + mask##.png (multilabel excluded)
+        for organ in ("liver", "pancreas", "multilabel"):
+            d = tmp_path / "data" / organ / "01"
+            d.mkdir(parents=True)
+            for i in range(2):
+                Image.fromarray((rng.random((32, 32, 3)) * 255).astype("uint8")
+                                ).save(d / f"image{i:02d}.png")
+                Image.fromarray((rng.random((32, 32)) > 0.6).astype("uint8") * 255
+                                ).save(d / f"mask{i:02d}.png")
+
+        image_paths, mask_paths = get_dsad_paths(str(tmp_path), organ="liver")
+        assert len(image_paths) == 2 and len(mask_paths) == 2
+        all_imgs, _ = get_dsad_paths(str(tmp_path))  # multilabel excluded
+        assert len(all_imgs) == 4
+        with pytest.raises(AssertionError):
+            get_dsad_paths(str(tmp_path), organ="not-an-organ")
+
+        loader = get_dsad_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                 organ="pancreas")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_duke_liver_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.duke_liver import (
+            get_duke_liver_loader, get_duke_liver_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(110)
+        # manual download; preprocessed nifti cache (the dicom conversion
+        # needs the optional pydicom package, so the cache drives the test)
+        (tmp_path / "data" / "Segmentation").mkdir(parents=True)
+        im_dir = tmp_path / "data" / "preprocessed" / "images"
+        gt_dir = tmp_path / "data" / "preprocessed" / "masks"
+        im_dir.mkdir(parents=True)
+        gt_dir.mkdir(parents=True)
+        for i in range(2):
+            save_nifti(str(im_dir / f"000{i}_01.nii.gz"),
+                       rng.random((12, 48, 48)).astype("float32"))
+            save_nifti(str(gt_dir / f"000{i}_01.nii.gz"),
+                       rng.integers(0, 2, (12, 48, 48)).astype("uint8"))
+
+        with pytest.raises(NotImplementedError):
+            get_duke_liver_paths(str(tmp_path / "nonexistent"), download=True)
+        image_paths, gt_paths = get_duke_liver_paths(str(tmp_path))
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+
+        loader = get_duke_liver_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_feta24_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.feta24 import (
+            get_feta24_loader, get_feta24_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(111)
+        for sid in (1, 2):
+            d = tmp_path / "feta_2.3" / f"sub-{sid:03d}" / "anat"
+            d.mkdir(parents=True)
+            save_nifti(str(d / f"sub-{sid:03d}_rec-mial_T2w.nii.gz"),
+                       rng.random((12, 48, 48)).astype("float32"))
+            save_nifti(str(d / f"sub-{sid:03d}_rec-mial_dseg.nii.gz"),
+                       rng.integers(0, 8, (12, 48, 48)).astype("uint8"))
+
+        with pytest.raises(NotImplementedError):
+            get_feta24_paths(str(tmp_path), download=True)
+        image_paths, gt_paths = get_feta24_paths(str(tmp_path))
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+
+        loader = get_feta24_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_fundus_avseg_layout(self, tmp_path):
+        import zipfile
+
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.fundus_avseg import (
+            get_fundus_avseg_loader, get_fundus_avseg_paths)
+
+        rng = np.random.default_rng(112)
+        # figshare zip: Fundus-AVSeg/{images,annotation}/*.png + training/testing.txt;
+        # unzip triggers the RGB -> class-id label conversion
+        src = tmp_path / "src" / "Fundus-AVSeg"
+        (src / "images").mkdir(parents=True)
+        (src / "annotation").mkdir(parents=True)
+        colors = [(255, 0, 0), (0, 0, 255), (0, 255, 0), (255, 255, 255), (0, 0, 0)]
+        fnames = [f"im{i}.png" for i in range(3)]
+        for f in fnames:
+            Image.fromarray((rng.random((32, 32, 3)) * 255).astype("uint8")
+                            ).save(src / "images" / f)
+            ann = np.array(colors, dtype="uint8")[rng.integers(0, len(colors), (32, 32))]
+            Image.fromarray(ann).save(src / "annotation" / f)
+        (src / "training.txt").write_text("\n".join(["filename"] + fnames) + "\n")
+        (src / "testing.txt").write_text("filename\n")
+        zip_path = tmp_path / "Fundus_AVSeg.zip"
+        with zipfile.ZipFile(zip_path, "w") as z:
+            for f in sorted(src.rglob("*")):
+                if f.is_file():
+                    z.write(f, f.relative_to(tmp_path / "src"))
+
+        # 3 fabricated pairs: train = fnames[:-15] is empty, val = all 3
+        raw_paths, label_paths = get_fundus_avseg_paths(str(tmp_path), split="val")
+        assert len(raw_paths) == 3 and len(label_paths) == 3
+        assert all(p.endswith(".tif") for p in label_paths)
+        lab = np.asarray(Image.open(label_paths[0]))
+        assert lab.ndim == 2 and lab.max() <= 4
+        with pytest.raises(ValueError):
+            get_fundus_avseg_paths(str(tmp_path), split="not-a-split")
+
+        loader = get_fundus_avseg_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                         split="val")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_han_seg_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.han_seg import (
+            get_han_seg_loader, get_han_seg_paths)
+        from torch_em_tpu.utils.medical_io import load_nifti, save_nrrd
+
+        rng = np.random.default_rng(113)
+        # HaN-Seg/set_1/case_XX/*.nrrd: CT volume + per-organ masks (+ skipped MR)
+        for case in ("case_01", "case_02"):
+            d = tmp_path / "HaN-Seg" / "set_1" / case
+            d.mkdir(parents=True)
+            save_nrrd(str(d / f"{case}_IMG_CT.nrrd"),
+                      rng.random((12, 48, 48)).astype("float32"))
+            save_nrrd(str(d / f"{case}_IMG_MR_T1.nrrd"),
+                      rng.random((12, 48, 48)).astype("float32"))
+            for organ in ("OAR_A_Carotid_L", "OAR_Bone_Mandible"):
+                save_nrrd(str(d / f"{case}_{organ}.nrrd"),
+                          (rng.random((12, 48, 48)) > 0.7).astype("uint8"))
+
+        image_paths, gt_paths = get_han_seg_paths(str(tmp_path))
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+        gt = load_nifti(gt_paths[0])
+        assert gt.max() == 2  # two organs merged into one multi-class volume
+
+        loader = get_han_seg_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_hil_toothseg_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.hil_toothseg import (
+            get_hil_toothseg_loader, get_hil_toothseg_paths)
+
+        rng = np.random.default_rng(114)
+        im_dir = tmp_path / "Teeth Segmentation PNG" / "d2" / "img"
+        gt_dir = tmp_path / "Teeth Segmentation PNG" / "d2" / "masks_machine"
+        im_dir.mkdir(parents=True)
+        gt_dir.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray((rng.random((48, 48)) * 255).astype("uint8")
+                            ).save(im_dir / f"{i}.png")
+            # color-coded teeth masks (converted to instance ids by the module)
+            mask = np.zeros((48, 48, 3), dtype="uint8")
+            mask[8:16, 8:16] = (255, 0, 0)
+            mask[24:32, 24:32] = (0, 255, 0)
+            Image.fromarray(mask).save(gt_dir / f"{i}.png")
+
+        image_paths, gt_paths = get_hil_toothseg_paths(str(tmp_path), split="train")
+        assert len(image_paths) == 3 and len(gt_paths) == 3
+        assert all(p.endswith(".tif") for p in gt_paths)
+        lab = np.asarray(Image.open(gt_paths[0]))
+        assert set(np.unique(lab)) == {0, 1, 2}
+        with pytest.raises(ValueError):
+            get_hil_toothseg_paths(str(tmp_path), split="not-a-split")
+
+        loader = get_hil_toothseg_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                         split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 1, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_idrid_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.idrid import (
+            get_idrid_loader, get_idrid_paths)
+
+        rng = np.random.default_rng(115)
+        seg = tmp_path / "data" / "A.%20Segmentation" / "A. Segmentation"
+        im_dir = seg / "1. Original Images" / "a. Training Set"
+        gt_dir = seg / "2. All Segmentation Groundtruths" / "a. Training Set" / "5. Optic Disc"
+        im_dir.mkdir(parents=True)
+        gt_dir.mkdir(parents=True)
+        for i in range(1, 3):
+            Image.fromarray((rng.random((48, 48, 3)) * 255).astype("uint8")
+                            ).save(im_dir / f"IDRiD_{i:02d}.jpg")
+            Image.fromarray((rng.random((48, 48)) > 0.7).astype("uint8") * 255
+                            ).save(gt_dir / f"IDRiD_{i:02d}_OD.tif")
+
+        image_paths, gt_paths = get_idrid_paths(str(tmp_path), split="train",
+                                                task="optic_disc")
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+        assert all(os.path.exists(p) for p in image_paths)
+
+        loader = get_idrid_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                  split="train", task="optic_disc")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_ircadb_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.medical.ircadb import (
+            get_ircadb_loader, get_ircadb_paths)
+
+        rng = np.random.default_rng(116)
+        # preprocessed h5 cache (dicom conversion needs optional pydicom)
+        (tmp_path / "data").mkdir(parents=True)
+        for pid in ("3Dircadb1.1", "3Dircadb1.2"):
+            with h5py.File(tmp_path / "data" / f"{pid}.h5", "w") as f:
+                f.create_dataset("raw", data=rng.random((12, 48, 48)).astype("float32"))
+                f.create_dataset("labels/liver",
+                                 data=(rng.random((12, 48, 48)) > 0.6).astype("uint8"))
+
+        paths = get_ircadb_paths(str(tmp_path))
+        assert len(paths) == 2
+
+        loader = get_ircadb_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1,
+                                   organ="liver")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_isles_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.isles import (
+            get_isles_loader, get_isles_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(117)
+        for case in ("sub-strokecase0001", "sub-strokecase0002"):
+            dwi = tmp_path / "ISLES-2022" / case / "ses-0001" / "dwi"
+            dwi.mkdir(parents=True)
+            for mod in ("dwi", "adc"):
+                save_nifti(str(dwi / f"{case}_ses-0001_{mod}.nii.gz"),
+                           rng.random((12, 48, 48)).astype("float32"))
+            deriv = tmp_path / "ISLES-2022" / "derivatives" / case / "ses-0001"
+            deriv.mkdir(parents=True)
+            save_nifti(str(deriv / f"{case}_ses-0001_msk.nii.gz"),
+                       rng.integers(0, 2, (12, 48, 48)).astype("uint8"))
+
+        image_paths, gt_paths = get_isles_paths(str(tmp_path), modality="dwi")
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+        adc_paths, _ = get_isles_paths(str(tmp_path), modality="adc")
+        assert all("_adc" in p for p in adc_paths)
+        with pytest.raises(AssertionError):
+            get_isles_paths(str(tmp_path), modality="flair")
+
+        loader = get_isles_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_jnuifm_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.jnuifm import (
+            get_jnuifm_loader, get_jnuifm_paths)
+        from torch_em_tpu.utils.medical_io import save_mha
+
+        rng = np.random.default_rng(118)
+        d = tmp_path / "Pubic Symphysis-Fetal Head Segmentation and Angle of Progression"
+        (d / "image_mha").mkdir(parents=True)
+        (d / "label_mha").mkdir(parents=True)
+        for i in range(2):
+            save_mha(str(d / "image_mha" / f"{i:05d}.mha"),
+                     (rng.random((48, 48, 3)) * 255).astype("uint8"))
+            save_mha(str(d / "label_mha" / f"{i:05d}.mha"),
+                     rng.integers(0, 3, (48, 48)).astype("uint8"))
+
+        image_paths, gt_paths = get_jnuifm_paths(str(tmp_path))
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+
+        loader = get_jnuifm_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)

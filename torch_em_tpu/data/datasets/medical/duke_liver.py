@@ -34,15 +34,15 @@ def get_duke_liver_data(path: Union[os.PathLike, str], download: bool = False) -
 
 
 def _preprocess_data(path, data_dir):
-    try:
-        import pydicom as dicom
-    except ImportError as e:
-        raise ImportError("pydicom is required to convert the Duke Liver dicom data.") from e
-
     preprocess_dir = os.path.join(path, "data", "preprocessed")
     if os.path.exists(preprocess_dir):
         return (util.natsorted(glob(os.path.join(preprocess_dir, "images", "*.nii.gz"))),
                 util.natsorted(glob(os.path.join(preprocess_dir, "masks", "*.nii.gz"))))
+
+    try:
+        import pydicom as dicom
+    except ImportError as e:
+        raise ImportError("pydicom is required to convert the Duke Liver dicom data.") from e
     os.makedirs(os.path.join(preprocess_dir, "images"), exist_ok=True)
     os.makedirs(os.path.join(preprocess_dir, "masks"), exist_ok=True)
 
