@@ -5254,3 +5254,181 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (2, 3, 32, 32)
         assert y.shape[-2:] == (32, 32)
+
+    def test_kits_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.medical.kits import (
+            get_kits_loader, get_kits_paths)
+
+        rng = np.random.default_rng(119)
+        # preprocessed split dirs with per-patient h5 (raw + labels/all +
+        # per-rater masks); download goes through the kits23 challenge CLI
+        for split, cases in (("train", 2), ("val", 1), ("test", 1)):
+            d = tmp_path / "preprocessed" / split
+            d.mkdir(parents=True)
+            for i in range(cases):
+                with h5py.File(d / f"case_{i:05d}.h5", "w") as f:
+                    f.create_dataset("raw", data=rng.random((12, 48, 48)).astype("float32"))
+                    f.create_dataset("labels/all",
+                                     data=rng.integers(0, 4, (12, 48, 48)).astype("uint8"))
+                    f.create_dataset("labels/kidney/rater_1",
+                                     data=(rng.random((12, 48, 48)) > 0.6).astype("uint8"))
+
+        assert len(get_kits_paths(str(tmp_path), split="train")) == 2
+        assert len(get_kits_paths(str(tmp_path), split="val")) == 1
+        with pytest.raises(ValueError):
+            get_kits_paths(str(tmp_path), split="not-a-split")
+
+        loader = get_kits_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1,
+                                 split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        loader = get_kits_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1,
+                                 split="train", rater=1, annotation_choice="kidney")
+        x, y = next(iter(loader))
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_leg_3d_us_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.leg_3d_us import (
+            get_leg_3d_us_loader, get_leg_3d_us_paths)
+        from torch_em_tpu.utils.medical_io import load_mha, save_mha
+
+        rng = np.random.default_rng(120)
+        # <split>/<case>/x*.mha volumes + masksX*.mha labels (ids 100/150/200)
+        for case in ("S1", "S2"):
+            d = tmp_path / "train" / case
+            d.mkdir(parents=True)
+            save_mha(str(d / "x001.mha"), rng.random((12, 48, 48)).astype("float32"))
+            labels = rng.choice([0, 100, 150, 200], (12, 48, 48)).astype("uint8")
+            save_mha(str(d / "masksX001.mha"), labels)
+
+        raw_paths, label_paths = get_leg_3d_us_paths(str(tmp_path), split="train")
+        assert len(raw_paths) == 2 and len(label_paths) == 2
+        assert all(p.endswith("_preprocessed.mha") for p in label_paths)
+        lab = np.asarray(load_mha(label_paths[0]))
+        assert lab.max() <= 3  # 100/150/200 remapped to 1/2/3
+        with pytest.raises(ValueError):
+            get_leg_3d_us_paths(str(tmp_path), split="not-a-split")
+
+        loader = get_leg_3d_us_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1,
+                                      split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_lgg_mri_layout(self, tmp_path):
+        import h5py
+
+        from torch_em_tpu.data.datasets.medical.lgg_mri import (
+            get_lgg_mri_loader, get_lgg_mri_paths)
+
+        rng = np.random.default_rng(121)
+        # merged per-patient volumes: data/TCGA_*.h5 with raw/<channel> + labels
+        (tmp_path / "data").mkdir(parents=True)
+        for i in range(3):
+            with h5py.File(tmp_path / "data" / f"TCGA_CS_{i:04d}.h5", "w") as f:
+                for c in ("pre_contrast", "flair", "post_contrast"):
+                    f.create_dataset(f"raw/{c}",
+                                     data=rng.random((8, 48, 48)).astype("float32"))
+                f.create_dataset("labels",
+                                 data=(rng.random((8, 48, 48)) > 0.7).astype("uint8"))
+
+        paths = get_lgg_mri_paths(str(tmp_path), split="train")
+        assert len(paths) == 3
+        assert len(get_lgg_mri_paths(str(tmp_path), split="val")) == 0
+        with pytest.raises(ValueError):
+            get_lgg_mri_paths(str(tmp_path), split="not-a-split")
+
+        loader = get_lgg_mri_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                    split="train", channels="flair")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 4, 32, 32)
+        # all three modalities stacked as channels
+        loader = get_lgg_mri_loader(str(tmp_path), patch_shape=(4, 32, 32), batch_size=1,
+                                    split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 4, 32, 32)
+
+    def test_m2caiseg_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.m2caiseg import (
+            LABEL_MAPS, get_m2caiseg_loader, get_m2caiseg_paths)
+
+        rng = np.random.default_rng(122)
+        colors = list(LABEL_MAPS)
+        for split, n in (("train", 2), ("trainval", 3)):
+            im_dir = tmp_path / "m2caiSeg dataset" / split / "images"
+            gt_dir = tmp_path / "m2caiSeg dataset" / split / "groundtruth"
+            im_dir.mkdir(parents=True)
+            gt_dir.mkdir(parents=True)
+            for i in range(n):
+                Image.fromarray((rng.random((32, 32, 3)) * 255).astype("uint8")
+                                ).save(im_dir / f"frame{i}.jpg")
+                gt = np.array(colors, dtype="uint8")[
+                    rng.integers(0, len(colors), (32, 32))]
+                Image.fromarray(gt).save(gt_dir / f"frame{i}.png")
+
+        image_paths, gt_paths = get_m2caiseg_paths(str(tmp_path), split="train")
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+        assert all(p.endswith(".tif") for p in gt_paths)
+        # val = trainval frames not in train (frame2 only)
+        val_imgs, _ = get_m2caiseg_paths(str(tmp_path), split="val")
+        assert len(val_imgs) == 1
+
+        loader = get_m2caiseg_loader(str(tmp_path), patch_shape=(32, 32), batch_size=2,
+                                     split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (2, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_mbh_seg_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.mbh_seg import (
+            get_mbh_seg_loader, get_mbh_seg_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(123)
+        im_dir = tmp_path / "label_192" / "images"
+        gt_dir = tmp_path / "label_192" / "ground truths"
+        im_dir.mkdir(parents=True)
+        gt_dir.mkdir(parents=True)
+        for i in range(2):
+            save_nifti(str(im_dir / f"ID_{i}.nii.gz"),
+                       rng.random((12, 48, 48)).astype("float32"))
+            save_nifti(str(gt_dir / f"ID_{i}.nii.gz"),
+                       rng.integers(0, 6, (12, 48, 48)).astype("uint8"))
+
+        image_paths, gt_paths = get_mbh_seg_paths(str(tmp_path))
+        assert len(image_paths) == 2 and len(gt_paths) == 2
+
+        loader = get_mbh_seg_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1)
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_mice_tumseg_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.mice_tumseg import (
+            get_mice_tumseg_loader, get_mice_tumseg_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(124)
+        for i in range(2):
+            d = tmp_path / "TumSeg database" / "Dataset A" / f"mouse{i}"
+            d.mkdir(parents=True)
+            save_nifti(str(d / f"CT_{i}.nii.gz"),
+                       rng.random((12, 48, 48)).astype("float32"))
+            for rater in ("Annotator_A", "Annotator_B", "STAPLE"):
+                save_nifti(str(d / f"{rater}_{i}.nii.gz"),
+                           rng.integers(0, 2, (12, 48, 48)).astype("uint8"))
+
+        raw_paths, label_paths = get_mice_tumseg_paths(str(tmp_path), rater="A")
+        assert len(raw_paths) == 2 and len(label_paths) == 2
+        staple_raw, staple_lab = get_mice_tumseg_paths(str(tmp_path), rater="STAPLE")
+        assert all("STAPLE" in p for p in staple_lab)
+
+        loader = get_mice_tumseg_loader(str(tmp_path), patch_shape=(8, 32, 32),
+                                        batch_size=1, rater="B")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
