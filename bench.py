@@ -15,9 +15,26 @@ explicitly so a budget-starved driver can sweep them across runs.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+# in-repo pre-populated compilation cache (committed): a driver round-end run
+# starts from a fresh /tmp, so the multi-minute cold XLA compiles of the scan
+# step / inference blocks are what ate the budget in rounds 3-4. The cache is
+# keyed on compiler version + device fingerprint, so a mismatched environment
+# simply misses and compiles as before.
+_CACHE_DIR = os.path.join(_REPO, "experiments", "perf", "bench_xla_cache")
+_FLOPS_FILE = os.path.join(_REPO, "experiments", "perf", "bench_nominal_flops.json")
+
+_T0 = time.perf_counter()
+
+
+def _mark(phase):
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {phase}",
+          file=sys.stderr, flush=True)
 
 
 def main():
@@ -26,7 +43,8 @@ def main():
     # persistent compilation cache: repeated bench runs (and the driver's
     # round-end run) skip the multi-minute XLA compiles
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        cache = _CACHE_DIR if os.path.isdir(_CACHE_DIR) else "/tmp/jax_bench_cache"
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
@@ -104,10 +122,33 @@ def main():
                     continue
             return 0.0
 
+    # the nominal-FLOP count for a (patch, batch) config is a pure function of
+    # the model definition; the committed value skips the CPU lowering + cost
+    # analysis (~1-2 min on a contended 1-core host) on the default config.
+    flops_key = f"{'x'.join(map(str, patch))}_bs{batch_size}"
+    flops_per_step = 0.0
     try:
-        flops_per_step = nominal_flops()
+        with open(_FLOPS_FILE) as f:
+            flops_per_step = float(json.load(f).get(flops_key, 0.0))
     except Exception:
-        flops_per_step = 0.0
+        pass
+    if not flops_per_step:
+        _mark("computing nominal flops (no committed value)")
+        try:
+            flops_per_step = nominal_flops()
+        except Exception:
+            flops_per_step = 0.0
+        try:  # best-effort memoization for later runs in the same checkout
+            table = {}
+            if os.path.exists(_FLOPS_FILE):
+                with open(_FLOPS_FILE) as f:
+                    table = json.load(f)
+            table[flops_key] = flops_per_step
+            with open(_FLOPS_FILE, "w") as f:
+                json.dump(table, f, indent=1)
+        except Exception:
+            pass
+    _mark(f"nominal flops ready ({flops_per_step:.3e})")
 
     rng = np.random.default_rng(0)
 
@@ -135,9 +176,11 @@ def main():
         (rng.random((scan_k, batch_size, 1) + patch) > 0.5).astype(np.float32), device)
     # the perf flags are read at trace time, so the context must cover the
     # compiling first call; the timed calls below reuse the executable
+    _mark("compiling scan step")
     with perf_options(phase_wpad=use_wpad):
         variables, opt_state, losses = scan_step(variables, opt_state, xs, ys)
         jax.block_until_ready(losses)  # compile + warmup
+    _mark("scan step compiled+warm")
     n_scan_calls = 2
     t0 = time.perf_counter()
     for _ in range(n_scan_calls):
@@ -164,6 +207,7 @@ def main():
             raise RuntimeError("disabled via BENCH_SECTIONS")
         if over_budget():
             raise TimeoutError("budget exceeded before tiled-inference section")
+        _mark("tiled-inference section")
         from torch_em_tpu.utils.prediction import predict_with_halo
 
         volume = rng.random((64, 512, 512), dtype=np.float32)
@@ -207,6 +251,7 @@ def main():
             raise RuntimeError("disabled via BENCH_SECTIONS")
         if over_budget():
             raise TimeoutError("budget exceeded before loader section")
+        _mark("loader section")
         import shutil
         import tempfile
 
@@ -319,6 +364,7 @@ def main():
     except Exception as e:
         skips["loader"] = f"{type(e).__name__}: {e}"
 
+    _mark("emitting JSON")
     print(json.dumps({
         "metric": "unet3d_train_patches_per_sec_chip",
         "value": round(patches_per_sec, 4),

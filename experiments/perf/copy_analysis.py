@@ -112,13 +112,23 @@ def main():
     fus = {k: v for k, v in per_op.items() if k.split(".")[0].startswith(("fusion", "loop_"))}
     for k, v in sorted(fus.items(), key=lambda kv: -kv[1])[:15]:
         d = hlo_def.get(k, "?")
-        print(f"  {v / n_steps:7.3f}  {k:18s}  {d[:150]}")
+        m = re.search(r'op_name="([^"]*)"', d)
+        s = re.search(r'source_file="([^"]*)".*?source_line=(\d+)', d)
+        meta = (m.group(1) if m else "") + (
+            f"  @{s.group(1).split('/')[-1]}:{s.group(2)}" if s else "")
+        print(f"  {v / n_steps:7.3f}  {k:18s}  {d[:110]}")
+        print(f"           {meta[:150]}")
 
     print("\n== broadcast_maximum / pad_maximum fusions (pool chain)")
     for k, v in sorted(per_op.items(), key=lambda kv: -kv[1]):
         if "maximum" in k and v / n_steps > 0.03:
             d = hlo_def.get(k, "?")
-            print(f"  {v / n_steps:7.3f}  {k:28s}  {d[:140]}")
+            m = re.search(r'op_name="([^"]*)"', d)
+            s = re.search(r'source_file="([^"]*)".*?source_line=(\d+)', d)
+            meta = (m.group(1) if m else "") + (
+                f"  @{s.group(1).split('/')[-1]}:{s.group(2)}" if s else "")
+            print(f"  {v / n_steps:7.3f}  {k:28s}  {d[:110]}")
+            print(f"           {meta[:150]}")
 
 
 if __name__ == "__main__":

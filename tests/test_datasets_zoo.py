@@ -5432,3 +5432,363 @@ class TestZooLayouts:
         x, y = next(iter(loader))
         assert x.shape == (1, 1, 8, 32, 32)
         assert y.shape[-3:] == (8, 32, 32)
+
+    def test_micro_usp_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.micro_usp import (
+            get_micro_usp_loader, get_micro_usp_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(120)
+        root = tmp_path / "Micro_Ultrasound_Prostate_Segmentation_Dataset"
+        for split, n in (("train", 7), ("test", 2)):
+            im = root / split / "micro_ultrasound_scans"
+            gt = root / split / "expert_annotations"
+            im.mkdir(parents=True)
+            gt.mkdir(parents=True)
+            for i in range(n):
+                save_nifti(str(im / f"subject_{i:03d}.nii.gz"),
+                           rng.random((10, 40, 40)).astype("float32"))
+                save_nifti(str(gt / f"subject_{i:03d}.nii.gz"),
+                           (rng.random((10, 40, 40)) > 0.5).astype("uint8"))
+
+        # 85/15 split of the 7 train volumes -> 6 train / 1 val
+        assert len(get_micro_usp_paths(str(tmp_path), "train")[0]) == 6
+        assert len(get_micro_usp_paths(str(tmp_path), "val")[0]) == 1
+        assert len(get_micro_usp_paths(str(tmp_path), "test")[0]) == 2
+        with pytest.raises(ValueError):
+            get_micro_usp_paths(str(tmp_path), "not-a-split")
+
+        loader = get_micro_usp_loader(str(tmp_path), patch_shape=(8, 32, 32),
+                                      batch_size=1, split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_motum_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.motum import (
+            get_motum_loader, get_motum_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(121)
+        # BIDS-ish layout: sub-*/anat/sub-*_{modality}.nii.gz with labels under
+        # derivatives/; subs 30-32 have labels but no preprocessed volumes
+        n_sub = 48
+        for i in range(1, n_sub + 1):
+            name = f"sub-{i:04d}"
+            anat = tmp_path / name / "anat"
+            anat.mkdir(parents=True)
+            if i not in (30, 31, 32):
+                save_nifti(str(anat / f"{name}_flair.nii.gz"),
+                           rng.random((8, 40, 40)).astype("float32"))
+            deriv = tmp_path / "derivatives" / name
+            deriv.mkdir(parents=True)
+            save_nifti(str(deriv / f"flair_seg_{name}.nii.gz"),
+                       (rng.random((8, 40, 40)) > 0.5).astype("uint8"))
+
+        assert len(get_motum_paths(str(tmp_path), "train")[0]) == 35
+        assert len(get_motum_paths(str(tmp_path), "val")[0]) == 10
+        with pytest.raises(ValueError):
+            get_motum_paths(str(tmp_path), "train", modality="t2")
+        with pytest.raises(ValueError):
+            get_motum_paths(str(tmp_path), "not-a-split")
+
+        loader = get_motum_loader(str(tmp_path), patch_shape=(8, 32, 32),
+                                  batch_size=1, split="val")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_msd_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.msd import get_msd_dataset, get_msd_loader
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(122)
+        # extracted task dirs: data/<task>/Task09_Spleen/{imagesTr,labelsTr}
+        for task, tdir in (("spleen", "Task09_Spleen"), ("heart", "Task02_Heart")):
+            root = tmp_path / "data" / task / tdir
+            (root / "imagesTr").mkdir(parents=True)
+            (root / "labelsTr").mkdir(parents=True)
+            for i in range(2):
+                save_nifti(str(root / "imagesTr" / f"{task}_{i:02d}.nii.gz"),
+                           rng.random((10, 40, 40)).astype("float32"))
+                save_nifti(str(root / "labelsTr" / f"{task}_{i:02d}.nii.gz"),
+                           (rng.random((10, 40, 40)) > 0.5).astype("uint8"))
+
+        with pytest.raises(AssertionError):
+            get_msd_dataset(str(tmp_path), (8, 32, 32), task_names="not-a-task")
+
+        # single task -> plain dataset; two tasks -> concat over both
+        ds = get_msd_dataset(str(tmp_path), (8, 32, 32), task_names="spleen")
+        both = get_msd_dataset(str(tmp_path), (8, 32, 32), task_names=["spleen", "heart"])
+        assert len(both) > len(ds) // 2
+
+        loader = get_msd_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1,
+                                task_names="spleen")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_oasis_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.oasis import (
+            get_oasis_loader, get_oasis_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(123)
+        # OASIS_* patient dirs with orig/norm volumes and seg4/seg35 labels;
+        # the 350/25/rest split indexes past our 4 fabricated patients, so
+        # train gets all 4 and val/test are empty slices
+        for i in range(4):
+            pdir = tmp_path / "data" / f"OASIS_OAS1_{i:04d}_MR1"
+            pdir.mkdir(parents=True)
+            for stem in ("orig", "norm"):
+                save_nifti(str(pdir / f"{stem}.nii.gz"),
+                           rng.random((10, 40, 40)).astype("float32"))
+            for ann in ("4", "35"):
+                save_nifti(str(pdir / f"seg{ann}.nii.gz"),
+                           rng.integers(0, 4, (10, 40, 40)).astype("uint8"))
+
+        raw_paths, label_paths = get_oasis_paths(str(tmp_path), "train")
+        assert len(raw_paths) == 4
+        assert raw_paths[0].endswith("orig.nii.gz")
+        assert label_paths[0].endswith("seg4.nii.gz")
+        raw_paths, label_paths = get_oasis_paths(str(tmp_path), "train",
+                                                 source="norm", label_annotations="35")
+        assert raw_paths[0].endswith("norm.nii.gz")
+        assert label_paths[0].endswith("seg35.nii.gz")
+        with pytest.raises(ValueError):
+            get_oasis_paths(str(tmp_path), "not-a-split")
+
+        loader = get_oasis_loader(str(tmp_path), patch_shape=(8, 32, 32), batch_size=1,
+                                  split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_oimhs_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.oimhs import (
+            get_oimhs_loader, get_oimhs_paths)
+
+        rng = np.random.default_rng(124)
+        # raw scans are 512x1024 RGB pngs: left half image, right half a
+        # color-coded mask (choroid/retina/cysts/hole)
+        for eye in range(6):
+            eye_dir = tmp_path / "data" / "Images" / f"eye_{eye:02d}"
+            eye_dir.mkdir(parents=True)
+            for scan in range(2):
+                img = rng.integers(0, 255, (64, 512, 3)).astype("uint8")
+                gt = np.zeros((64, 512, 3), dtype="uint8")
+                gt[:16] = (255, 255, 0)
+                gt[16:32] = (0, 255, 0)
+                gt[32:48] = (0, 0, 255)
+                gt[48:] = (255, 0, 0)
+                scan_img = np.concatenate([img, gt], axis=1)
+                Image.fromarray(scan_img).save(eye_dir / f"scan_{scan}.png")
+
+        image_paths, gt_paths = get_oimhs_paths(str(tmp_path), "train")
+        assert len(image_paths) == len(gt_paths) > 0
+        # color->id conversion: all four classes present
+        from torch_em_tpu.utils.io import load_image
+        gt = np.asarray(load_image(gt_paths[0]))
+        assert set(np.unique(gt)) == {1, 2, 3, 4}
+
+        loader = get_oimhs_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                  split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_osic_pulmofib_layout(self, tmp_path):
+        import json
+
+        from torch_em_tpu.data.datasets.medical.osic_pulmofib import (
+            get_osic_pulmofib_loader, get_osic_pulmofib_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(125)
+        # preprocessed cache + confirmer.json: the dicom conversion (pydicom)
+        # is skipped entirely, mirroring a completed preprocessing run
+        data = tmp_path / "data"
+        (data / "train").mkdir(parents=True)
+        prep = data / "preprocessed"
+        (prep / "images").mkdir(parents=True)
+        (prep / "ground_truth").mkdir(parents=True)
+        for i in range(4):
+            uid = f"ID{i:08d}"
+            (data / "train" / uid).mkdir()
+            save_nifti(str(prep / "images" / f"{uid}.nii.gz"),
+                       rng.random((40, 40, 10)).astype("float32"))
+            save_nifti(str(prep / "ground_truth" / f"{uid}.nii.gz"),
+                       rng.integers(0, 4, (40, 40, 10)).astype("uint8"))
+        with open(prep / "confirmer.json", "w") as f:
+            json.dump("preprocessed", f)
+
+        image_paths, gt_paths = get_osic_pulmofib_paths(str(tmp_path), "train")
+        assert len(image_paths) == 4 and len(gt_paths) == 4
+        with pytest.raises(ValueError):
+            get_osic_pulmofib_paths(str(tmp_path), "not-a-split")
+
+        loader = get_osic_pulmofib_loader(str(tmp_path), patch_shape=(8, 32, 32),
+                                          batch_size=1, split="train")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_palm_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.palm import get_palm_loader, get_palm_paths
+
+        rng = np.random.default_rng(126)
+        # split dirs with RGB jpgs and 0-coded bmp masks (0 marks the
+        # structure; preprocessing converts to foreground-1 tifs)
+        for split, n in (("Training", 3), ("Validation", 2)):
+            for sub in ("Images", "Disc Masks", "Lesion Masks/Atrophy"):
+                (tmp_path / "PALM" / split / sub).mkdir(parents=True, exist_ok=True)
+            for i in range(n):
+                img = rng.integers(0, 255, (48, 48, 3)).astype("uint8")
+                Image.fromarray(img).save(tmp_path / "PALM" / split / "Images" / f"P{i:04d}.jpg")
+                mask = np.full((48, 48), 255, dtype="uint8")
+                mask[8:24, 8:24] = 0
+                for sub in ("Disc Masks", "Lesion Masks/Atrophy"):
+                    Image.fromarray(mask).save(
+                        tmp_path / "PALM" / split / sub / f"P{i:04d}.bmp")
+
+        raw_paths, label_paths = get_palm_paths(str(tmp_path), "Training")
+        assert len(raw_paths) == 3
+        assert label_paths[0].endswith("_preprocessed.tif")
+        from torch_em_tpu.utils.io import load_image
+        lab = np.asarray(load_image(label_paths[0]))
+        assert set(np.unique(lab)) == {0, 1}
+        raw_paths, _ = get_palm_paths(str(tmp_path), "Validation",
+                                      label_choice="atrophy_lesion")
+        assert len(raw_paths) == 2
+        with pytest.raises(AssertionError):
+            get_palm_paths(str(tmp_path), "not-a-split")
+        with pytest.raises(ValueError):
+            get_palm_paths(str(tmp_path), "Training", label_choice="not-a-choice")
+
+        loader = get_palm_loader(str(tmp_path), patch_shape=(32, 32), batch_size=1,
+                                 split="Training")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 3, 32, 32)
+        assert y.shape[-2:] == (32, 32)
+
+    def test_panorama_layout(self, tmp_path):
+        from torch_em_tpu.data.datasets.medical.panorama import (
+            get_panorama_loader, get_panorama_paths)
+        from torch_em_tpu.utils.medical_io import save_nifti
+
+        rng = np.random.default_rng(127)
+        vol_dir = tmp_path / "volumes"
+        vol_dir.mkdir(parents=True)
+        for choice, n in (("manual", 3), ("automatic", 2)):
+            ldir = tmp_path / "labels" / f"{choice}_labels"
+            ldir.mkdir(parents=True)
+            for i in range(n):
+                name = f"1000{i}_0000{1 if choice == 'manual' else 2}"
+                save_nifti(str(ldir / f"{name}.nii.gz"),
+                           (rng.random((8, 40, 40)) > 0.5).astype("uint8"))
+                save_nifti(str(vol_dir / f"{name}_0000.nii.gz"),
+                           rng.random((8, 40, 40)).astype("float32"))
+        # the known-empty upstream label is dropped
+        save_nifti(str(tmp_path / "labels" / "manual_labels" / "100051_00001.nii.gz"),
+                   (rng.random((8, 40, 40)) > 0.5).astype("uint8"))
+        save_nifti(str(vol_dir / "100051_00001_0000.nii.gz"),
+                   rng.random((8, 40, 40)).astype("float32"))
+
+        raw_paths, label_paths = get_panorama_paths(str(tmp_path), "manual")
+        assert len(raw_paths) == 3
+        raw_paths, label_paths = get_panorama_paths(str(tmp_path))
+        assert len(raw_paths) == 5  # both choices, empty-file label dropped
+
+        loader = get_panorama_loader(str(tmp_path), patch_shape=(8, 32, 32),
+                                     batch_size=1, annotation_choice="manual")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        assert y.shape[-3:] == (8, 32, 32)
+
+    def test_papila_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical import papila
+        from torch_em_tpu.data.datasets.medical.papila import (
+            get_papila_loader, get_papila_paths)
+
+        rng = np.random.default_rng(128)
+        root = tmp_path / "PapilaDB-PAPILA-17f8fa7746adb20275b5b6a0d99dc9dfe3007e9f"
+        (root / "FundusImages").mkdir(parents=True)
+        (root / "ExpertsSegmentations" / "Contours").mkdir(parents=True)
+        # small test shape instead of the real (1934, 2576) fundus frames
+        old_shape = papila._INPUT_SHAPE
+        papila._INPUT_SHAPE = (48, 64, 3)
+        try:
+            for i in range(3):
+                pid = f"RET{i:03d}OS"
+                img = rng.integers(0, 255, (48, 64, 3)).astype("uint8")
+                Image.fromarray(img).save(root / "FundusImages" / f"{pid}.jpg")
+                contour = np.array([[8.0, 8.0], [40.0, 8.0], [40.0, 30.0], [8.0, 30.0]])
+                for task in ("disc", "cup"):
+                    for exp in ("exp1", "exp2"):
+                        np.savetxt(root / "ExpertsSegmentations" / "Contours"
+                                   / f"{pid}_{task}_{exp}.txt", contour)
+
+            image_paths, gt_paths = get_papila_paths(str(tmp_path), "train")
+            assert len(image_paths) == 3 and len(gt_paths) == 3
+            from torch_em_tpu.utils.io import load_image
+            mask = np.asarray(load_image(gt_paths[0]))
+            assert mask.shape == (48, 64) and mask.max() == 1
+            with pytest.raises(AssertionError):
+                get_papila_paths(str(tmp_path), "train", task="not-a-task")
+            with pytest.raises(ValueError):
+                get_papila_paths(str(tmp_path), "not-a-split")
+
+            loader = get_papila_loader(str(tmp_path), patch_shape=(32, 32),
+                                       batch_size=1, split="train")
+            x, y = next(iter(loader))
+            assert x.shape == (1, 3, 32, 32)
+            assert y.shape[-2:] == (32, 32)
+        finally:
+            papila._INPUT_SHAPE = old_shape
+
+    def test_pengwin_layout(self, tmp_path):
+        from PIL import Image
+
+        from torch_em_tpu.data.datasets.medical.pengwin import (
+            get_pengwin_loader, get_pengwin_paths)
+        from torch_em_tpu.utils.medical_io import save_mha
+
+        rng = np.random.default_rng(129)
+        # CT: mha volumes under data/CT/{images,labels}
+        ct = tmp_path / "data" / "CT"
+        (ct / "images").mkdir(parents=True)
+        (ct / "labels").mkdir(parents=True)
+        for i in range(2):
+            save_mha(str(ct / "images" / f"{i:03d}.mha"),
+                     rng.random((10, 40, 40)).astype("float32"))
+            save_mha(str(ct / "labels" / f"{i:03d}.mha"),
+                     rng.integers(0, 5, (10, 40, 40)).astype("uint8"))
+        # X-Ray: tif images under train/{input,output}/images
+        xr = tmp_path / "data" / "X-Ray" / "train"
+        (xr / "input" / "images").mkdir(parents=True)
+        (xr / "output" / "images").mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(rng.integers(0, 255, (48, 48)).astype("uint8")).save(
+                xr / "input" / "images" / f"{i:03d}.tif")
+            Image.fromarray(rng.integers(0, 5, (48, 48)).astype("uint8")).save(
+                xr / "output" / "images" / f"{i:03d}.tif")
+
+        assert len(get_pengwin_paths(str(tmp_path), "CT")[0]) == 2
+        assert len(get_pengwin_paths(str(tmp_path), "X-Ray")[0]) == 2
+        with pytest.raises(ValueError):
+            get_pengwin_paths(str(tmp_path), "MRI")
+
+        loader = get_pengwin_loader(str(tmp_path), patch_shape=(8, 32, 32),
+                                    batch_size=1, modality="CT")
+        x, y = next(iter(loader))
+        assert x.shape == (1, 1, 8, 32, 32)
+        loader = get_pengwin_loader(str(tmp_path), patch_shape=(32, 32),
+                                    batch_size=1, modality="X-Ray")
+        x, y = next(iter(loader))
+        assert x.shape[-2:] == (32, 32)

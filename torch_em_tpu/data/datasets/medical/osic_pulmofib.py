@@ -39,17 +39,19 @@ def get_osic_pulmofib_data(path: Union[os.PathLike, str], download: bool = False
 
 
 def _preprocess_inputs(data_dir, split):
-    try:
-        import pydicom as dicom
-    except ImportError as e:
-        raise ImportError("pydicom is required to convert the OSIC dicom scans.") from e
-
     image_dir = os.path.join(data_dir, "preprocessed", "images")
     gt_dir = os.path.join(data_dir, "preprocessed", "ground_truth")
     os.makedirs(image_dir, exist_ok=True)
     os.makedirs(gt_dir, exist_ok=True)
     cpath = os.path.join(data_dir, "preprocessed", "confirmer.json")
     completed = os.path.exists(cpath)
+    if not completed:
+        # only the initial conversion needs the optional dicom reader; a
+        # completed preprocessed cache is consumed without it
+        try:
+            import pydicom as dicom
+        except ImportError as e:
+            raise ImportError("pydicom is required to convert the OSIC dicom scans.") from e
 
     image_paths, gt_paths = [], []
     for uid_path in util.natsorted(glob(os.path.join(data_dir, "train", "*"))):
