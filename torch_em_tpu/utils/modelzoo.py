@@ -750,14 +750,98 @@ def _load_normalizer(rdf):
     return standardize
 
 
+def _build_mirror_for_package(folder):
+    """Rebuild the packaged model and its torch mirror (UNet family only).
+
+    Returns (model, mirror, example_input). Raises NotImplementedError for
+    model families without a torch mapping or with torchscript-incompatible
+    extras (side outputs / postprocessing)."""
+    from .torch_mirror import build_torch_mirror
+
+    model = _rebuild_model_from_package(folder)
+    state = torch_state_dict_from_flax(model)
+    factory = getattr(model, "factory", "") or ""
+    if state is None or factory.rsplit(".", 1)[-1] not in ("UNet2d", "UNet3d", "AnisotropicUNet"):
+        raise NotImplementedError(
+            f"torchscript/onnx export is only available for the UNet family, "
+            f"not {factory or type(model)}.")
+    module = model.module
+    if getattr(module, "return_side_outputs", False) or getattr(module, "postprocessing", None):
+        raise NotImplementedError(
+            "torchscript/onnx export does not support side outputs or postprocessing.")
+    scale_factors = [list(sf) if isinstance(sf, (tuple, list)) else sf
+                     for sf in module.scale_factors]
+    mirror = build_torch_mirror(
+        state, dim=module.dim, scale_factors=scale_factors, norm=module.norm,
+        final_activation=module.final_activation)
+    example_path = os.path.join(folder, "test_input.npy")
+    if os.path.exists(example_path):
+        example = np.load(example_path)
+    else:
+        spatial = tuple(int(np.prod([_sf if isinstance(_sf, int) else _sf[ax]
+                                     for _sf in scale_factors])) * 2
+                        for ax in range(module.dim))
+        example = np.random.RandomState(0).rand(
+            1, model.in_channels, *spatial).astype("float32")
+    return model, mirror, example
+
+
+def _export_torchscript(folder):
+    """Trace the torch mirror and store it as the package's ``torchscript``
+    weights entry (reference modelzoo.py:617-638), verifying the traced
+    program against the native model on the package's test input."""
+    import torch
+
+    from .torch_mirror import trace_torch_mirror
+
+    model, mirror, example = _build_mirror_for_package(folder)
+    traced, out_ts = trace_torch_mirror(mirror, example)
+    out_native = np.asarray(model(example))
+    if not np.allclose(out_native, out_ts, atol=1e-4):
+        raise RuntimeError(
+            f"torchscript trace diverges from the native model "
+            f"(max |d| = {np.abs(out_native - out_ts).max():.3e})")
+    weights_path = os.path.join(folder, "weights_torchscript.pt")
+    traced.save(weights_path)
+    return weights_path, {"pytorch_version": str(torch.__version__)}
+
+
 def convert_to_onnx(spec_path, opset_version=12):
-    """ONNX conversion is not supported for jax weights (reference :791);
-    torch-side consumers should use the 'pytorch_state_dict' weights entry
-    (see add_weight_formats) and convert with the reference tooling."""
-    raise NotImplementedError(
-        "ONNX conversion of jax weights is not implemented; export the "
-        "'pytorch_state_dict' weight format instead (add_weight_formats) and run the "
-        "torch-side ONNX conversion on it.")
+    """Convert a package's UNet weights to ONNX via the torch mirror
+    (reference modelzoo.py:791 converts its torch model the same way).
+
+    Requires the ``onnx`` package (torch's exporter serializes through it);
+    without it this raises with guidance rather than writing a broken file.
+    """
+    import torch
+
+    folder = spec_path if os.path.isdir(spec_path) else os.path.dirname(spec_path)
+    _, mirror, example = _build_mirror_for_package(folder)
+    out_path = os.path.join(folder, "weights.onnx")
+    try:
+        torch.onnx.export(
+            mirror, (torch.from_numpy(np.ascontiguousarray(example.astype("float32"))),),
+            out_path, opset_version=opset_version, dynamo=False,
+            input_names=["input"], output_names=["output"])
+    except Exception as e:
+        if "onnx is not installed" in str(e).lower() or "onnxscript" in str(e):
+            raise NotImplementedError(
+                "ONNX conversion needs the 'onnx' package, which is not "
+                "installed in this environment; the torchscript weight format "
+                "(add_weight_formats(..., ['torchscript'])) covers the same "
+                "consumers without it.") from e
+        raise
+    import yaml
+
+    rdf_path = os.path.join(folder, "rdf.yaml")
+    if os.path.exists(rdf_path):
+        with open(rdf_path) as f:
+            rdf = yaml.safe_load(f)
+        rdf.setdefault("weights", {})["onnx"] = {
+            "source": os.path.basename(out_path), "opset_version": opset_version}
+        with open(rdf_path, "w") as f:
+            yaml.safe_dump(rdf, f)
+    return out_path
 
 
 def _rebuild_model_from_package(folder):
@@ -811,6 +895,19 @@ def add_weight_formats(model_path, additional_formats):
             }
             with open(rdf_path, "w") as f:
                 yaml.safe_dump(rdf, f)
+        elif fmt == "torchscript":
+            import yaml
+
+            weights_path, extra = _export_torchscript(folder)
+            rdf_path = os.path.join(folder, "rdf.yaml")
+            with open(rdf_path) as f:
+                rdf = yaml.safe_load(f)
+            rdf.setdefault("weights", {})["torchscript"] = {
+                "source": os.path.basename(weights_path), **extra}
+            with open(rdf_path, "w") as f:
+                yaml.safe_dump(rdf, f)
+        elif fmt == "onnx":
+            convert_to_onnx(folder)
         else:
             raise NotImplementedError(f"Weight format {fmt} is not supported for jax models yet.")
 
