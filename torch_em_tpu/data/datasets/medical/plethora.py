@@ -74,11 +74,6 @@ def _assort_plethora_inputs(image_dir, gt_dir, task, csv_path):
     truth to match (transpose + flips as in the reference)."""
     import pandas as pd
 
-    try:
-        import pydicom as dicom
-    except ImportError:
-        raise ImportError("The 'pydicom' package is required to read the PLETHORA DICOM series.")
-
     df = pd.read_csv(csv_path)
     task_gt_dir = os.path.join(gt_dir)
 
@@ -105,6 +100,10 @@ def _assort_plethora_inputs(image_dir, gt_dir, task, csv_path):
             continue
 
         if not os.path.exists(vol_path):
+            try:  # only needed when the series still has to be converted
+                import pydicom as dicom
+            except ImportError:
+                raise ImportError("The 'pydicom' package is required to read the PLETHORA DICOM series.")
             all_slices = [dicom.dcmread(p).pixel_array
                           for p in util.natsorted(glob(os.path.join(series_uid_dir, "*.dcm")))]
             volume = np.stack(all_slices).transpose(1, 2, 0)
