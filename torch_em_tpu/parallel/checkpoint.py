@@ -1,0 +1,100 @@
+"""Sharded checkpoint save/restore for mesh-distributed train state.
+
+The reference's checkpointing is a rank-0 ``torch.save`` of host tensors
+(torch_em/trainer/default_trainer.py:570); the mesh-native equivalent must
+(a) write sharded ``jax.Array`` state without first materializing every
+array on one host, and (b) restore it directly onto the target shardings so
+XLA never round-trips the parameters through a replicated layout.
+
+Two tiers:
+
+- orbax (available in the training image): per-shard tensorstore writes —
+  every process writes only its local shards, restore places shards
+  directly per the target sharding tree. This is the multi-host-correct
+  path.
+- msgpack fallback: gather-to-host + flax msgpack (single-host only); kept
+  so checkpoints remain readable in minimal environments.
+"""
+
+import os
+from typing import Any, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["save_sharded_checkpoint", "restore_sharded_checkpoint"]
+
+
+def _orbax():
+    try:
+        import orbax.checkpoint as ocp
+        return ocp
+    except ImportError:
+        return None
+
+
+def save_sharded_checkpoint(path: str, tree: Any) -> str:
+    """Save a (possibly sharded) pytree of jax Arrays to ``path``.
+
+    With orbax each process writes its own shards; the call is collective
+    across processes. Returns the path written.
+    """
+    path = os.path.abspath(str(path))
+    ocp = _orbax()
+    if ocp is not None:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, tree, force=True)
+        return path
+    from flax import serialization as flax_serialization
+
+    host_tree = jax.device_get(tree)
+    blob = flax_serialization.msgpack_serialize(
+        flax_serialization.to_state_dict(host_tree))
+    if jax.process_index() == 0:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return path
+
+
+def restore_sharded_checkpoint(path: str, like: Any,
+                               mesh: Optional[Mesh] = None,
+                               shardings: Optional[Any] = None) -> Any:
+    """Restore a checkpoint onto target shardings.
+
+    ``like`` provides the tree structure + shapes/dtypes (e.g. the freshly
+    initialized state). ``shardings`` is a matching tree of NamedShardings
+    (or a single sharding applied to every leaf); with only ``mesh`` given,
+    leaves restore replicated over it.
+    """
+    path = os.path.abspath(str(path))
+    if shardings is None and mesh is not None:
+        shardings = NamedSharding(mesh, P())
+    if shardings is not None and not isinstance(shardings, (dict, list, tuple)) \
+            and not hasattr(shardings, "keys"):
+        single = shardings
+        shardings = jax.tree_util.tree_map(lambda _: single, like)
+
+    ocp = _orbax()
+    if ocp is not None and os.path.isdir(path):
+        def _abstract(leaf, sh):
+            leaf = jax.numpy.asarray(leaf)
+            return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=sh)
+
+        abstract = (jax.tree_util.tree_map(_abstract, like, shardings)
+                    if shardings is not None else
+                    jax.tree_util.tree_map(
+                        lambda leaf: jax.ShapeDtypeStruct(
+                            jax.numpy.asarray(leaf).shape, jax.numpy.asarray(leaf).dtype),
+                        like))
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(path, abstract)
+
+    from flax import serialization as flax_serialization
+
+    with open(path, "rb") as f:
+        state = flax_serialization.msgpack_restore(f.read())
+    restored = flax_serialization.from_state_dict(like, state)
+    if shardings is not None:
+        restored = jax.tree_util.tree_map(
+            lambda leaf, sh: jax.device_put(leaf, sh), restored, shardings)
+    return restored
