@@ -54,10 +54,23 @@ def main():
     x = jax.device_put(rng.random((batch_size, 1) + patch, dtype=np.float32), device)
     y = jax.device_put((rng.random((batch_size, 1) + patch) > 0.5).astype(np.float32), device)
 
+    # perf-switch A/Bs from env, e.g. SB_PHASE_WPAD=1 SB_PALLAS_NORM=0
+    from torch_em_tpu.models.unet import perf_options
+
+    flag_kwargs = {}
+    for arg in ("packing", "pallas_norm", "norm_fold", "packed_conv_mode",
+                "phase_packing", "phase_wpad"):
+        env = os.environ.get("SB_" + arg.upper())
+        if env is not None:
+            flag_kwargs[arg] = env if arg == "packed_conv_mode" else env == "1"
+    if flag_kwargs:
+        print("flags:", flag_kwargs, flush=True)
+
     t0 = time.perf_counter()
-    for _ in range(3):
-        variables, opt_state, loss = step(variables, opt_state, x, y)
-    jax.block_until_ready(loss)
+    with perf_options(**flag_kwargs):
+        for _ in range(3):
+            variables, opt_state, loss = step(variables, opt_state, x, y)
+        jax.block_until_ready(loss)
     print(f"compile+warmup: {time.perf_counter() - t0:.1f} s", flush=True)
 
     for rep in range(3):
