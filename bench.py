@@ -59,6 +59,13 @@ def main():
     batch_size = int(os.environ.get("BENCH_BATCH", "1"))
     n_warmup, n_steps = 3, 15
     sections = set(os.environ.get("BENCH_SECTIONS", "train,inference,loader").split(","))
+    # the axon device claim can queue behind stale claims for many minutes
+    # (measured: 26 min after an unclean client death) — acquire the device
+    # FIRST and start the wall-clock budget only once it responds, so the
+    # claim wait cannot eat the section budget
+    _mark("acquiring device")
+    jax.block_until_ready(jax.device_put(np.zeros(8, np.float32), jax.devices()[0]))
+    _mark("device acquired")
     # wall-clock budget: optional sections (tiled inference, loader modes) are
     # skipped once exceeded so the primary metric always prints before a
     # driver timeout even with a cold compilation cache
