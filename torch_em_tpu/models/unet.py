@@ -334,10 +334,12 @@ class perf_options:
               "norm_fold": "NORM_FOLD",
               "packed_conv_mode": "PACKED_CONV_MODE",
               "phase_packing": "PHASE_PACKING",
-              "phase_wpad": "PHASE_WPAD"}
+              "phase_wpad": "PHASE_WPAD",
+              "groupmax_vjp": "GROUPMAX_VJP"}
 
     def __init__(self, packing=None, pallas_norm=None, packed_conv_mode=None,
-                 phase_packing=None, norm_fold=None, phase_wpad=None):
+                 phase_packing=None, norm_fold=None, phase_wpad=None,
+                 groupmax_vjp=None):
         g = globals()
         self._saved = {}
         for arg, name in self._FLAGS.items():
@@ -345,7 +347,8 @@ class perf_options:
                      "packed_conv_mode": packed_conv_mode,
                      "phase_packing": phase_packing,
                      "norm_fold": norm_fold,
-                     "phase_wpad": phase_wpad}[arg]
+                     "phase_wpad": phase_wpad,
+                     "groupmax_vjp": groupmax_vjp}[arg]
             if value is not None:
                 self._saved[name] = g[name]
                 g[name] = value
@@ -549,6 +552,12 @@ def _mask_shifted(x, c, e=0):
     return x * jnp.asarray(mh, x.dtype) * jnp.asarray(mw, x.dtype)
 
 
+# route the phase-pool group max through the no-tie-normalization custom VJP
+# (False = plain AD reduce_max backward, kept A/B-able: the custom backward
+# trades the AD tie-count arithmetic for layout copies around its eq mask)
+GROUPMAX_VJP = True
+
+
 @jax.custom_vjp
 def _groupmax4(y5):
     return jnp.max(y5, axis=3)
@@ -581,7 +590,8 @@ def _pool2x2_phase(y):
     than this reshape+reduce on the CREMI bench; the _groupmax4 custom VJP
     only replaces the backward's tie-splitting arithmetic.)"""
     b, hb, wb, c4 = y.shape
-    return _groupmax4(y.reshape(b, hb, wb, 4, c4 // 4))
+    y5 = y.reshape(b, hb, wb, 4, c4 // 4)
+    return _groupmax4(y5) if GROUPMAX_VJP else jnp.max(y5, axis=3)
 
 
 def _upsample2x_to_phase(x):
