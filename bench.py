@@ -9,8 +9,10 @@ is null and the driver records absolute values per round.
 Section order is budget-aware for a COLD compilation cache (round-4 VERDICT
 item 1): the primary scan metric compiles first, tiled inference immediately
 after, then the loader modes — each optional section records WHY it was
-skipped.  ``BENCH_SECTIONS=train,inference,loader`` (env) selects sections
-explicitly so a budget-starved driver can sweep them across runs.
+skipped.  ``BENCH_SECTIONS=train,inference,loader`` (env) selects the
+OPTIONAL sections (inference, loader) explicitly so a budget-starved driver
+can sweep them across runs; the primary train metric always runs — the JSON
+headline requires it.
 """
 
 import json
@@ -129,10 +131,15 @@ def main():
                     continue
             return 0.0
 
-    # the nominal-FLOP count for a (patch, batch) config is a pure function of
-    # the model definition; the committed value skips the CPU lowering + cost
-    # analysis (~1-2 min on a contended 1-core host) on the default config.
-    flops_key = f"{'x'.join(map(str, patch))}_bs{batch_size}"
+    # the nominal-FLOP count for a (patch, batch, model) config is a pure
+    # function of the model definition; the committed value skips the CPU
+    # lowering + cost analysis (~1-2 min on a contended 1-core host) on the
+    # default config. The key carries the parameter count as a model
+    # fingerprint so a changed bench model invalidates the memo instead of
+    # silently reusing stale FLOPs for the MFU number.
+    n_params = sum(int(np.prod(np.shape(p)))
+                   for p in jax.tree_util.tree_leaves(variables["params"]))
+    flops_key = f"{'x'.join(map(str, patch))}_bs{batch_size}_p{n_params}"
     flops_per_step = 0.0
     try:
         with open(_FLOPS_FILE) as f:
@@ -145,16 +152,17 @@ def main():
             flops_per_step = nominal_flops()
         except Exception:
             flops_per_step = 0.0
-        try:  # best-effort memoization for later runs in the same checkout
-            table = {}
-            if os.path.exists(_FLOPS_FILE):
-                with open(_FLOPS_FILE) as f:
-                    table = json.load(f)
-            table[flops_key] = flops_per_step
-            with open(_FLOPS_FILE, "w") as f:
-                json.dump(table, f, indent=1)
-        except Exception:
-            pass
+        if flops_per_step > 0:
+            try:  # best-effort memoization for later runs in the same checkout
+                table = {}
+                if os.path.exists(_FLOPS_FILE):
+                    with open(_FLOPS_FILE) as f:
+                        table = json.load(f)
+                table[flops_key] = flops_per_step
+                with open(_FLOPS_FILE, "w") as f:
+                    json.dump(table, f, indent=1)
+            except Exception:
+                pass
     _mark(f"nominal flops ready ({flops_per_step:.3e})")
 
     rng = np.random.default_rng(0)

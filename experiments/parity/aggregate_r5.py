@@ -53,7 +53,12 @@ def main():
             tpu_seeds[f"seed{s}"] = d
             tpu.append(d)
 
-    t, dof = welch(tpu, ref) if len(tpu) > 1 and len(ref) > 1 else (None, None)
+    if len(ref) < 2 or len(tpu) < 2:
+        print(f"not enough results yet (ref n={len(ref)}, tpu n={len(tpu)}); "
+              "run the sweeps first")
+        return
+
+    t, dof = welch(tpu, ref)
     summary = {
         "cremi3d_free_seeds_r5": {
             "protocol": "pb: precomputed full-volume boundary targets, fixed "

@@ -43,43 +43,23 @@ DEFAULT = ("wpad1_pnorm1=phase_wpad:1,pallas_norm:1;"
 
 
 def main():
-    import jax.numpy as jnp
-
-    from torch_em_tpu.loss import DiceLoss
-    from torch_em_tpu.models import AnisotropicUNet
     from torch_em_tpu.models.unet import perf_options
-    from torch_em_tpu.trainer.optimizers import OptimizerSpec
+
+    import tracked_config
 
     matrix = parse_matrix(sys.argv[1] if len(sys.argv) > 1 else DEFAULT)
-    patch = tuple(int(x) for x in os.environ.get("BENCH_PATCH", "32,256,256").split(","))
 
     device = jax.devices()[0]
     t0 = time.perf_counter()
     jax.block_until_ready(jax.device_put(np.zeros(8, np.float32), device))
     print(f"device acquired in {time.perf_counter() - t0:.1f}s", flush=True)
 
-    model = AnisotropicUNet(
-        in_channels=1, out_channels=1,
-        scale_factors=[[1, 2, 2], [1, 2, 2], [2, 2, 2], [2, 2, 2]],
-        initial_features=32, final_activation="Sigmoid", anisotropic_kernel=True,
-        dtype=jnp.bfloat16)
-    loss_obj = DiceLoss()
-    tx = OptimizerSpec("adamw", lr=1e-4).build()
+    model, _, tx, train_step = tracked_config.build()
     base_variables = jax.device_get(model.variables)
 
-    def train_step(variables, opt_state, x, y):
-        def loss_fn(p):
-            pred = model.module.apply({"params": p}, x, train=True)
-            return loss_obj(pred, y)
-
-        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
-        updates, opt_state_new = tx.update(grads, opt_state, variables["params"])
-        params = jax.tree_util.tree_map(lambda p, u: p + u, variables["params"], updates)
-        return {"params": params}, opt_state_new, loss
-
-    rng = np.random.default_rng(0)
-    x = jax.device_put(rng.random((1, 1) + patch, dtype=np.float32), device)
-    y = jax.device_put((rng.random((1, 1) + patch) > 0.5).astype(np.float32), device)
+    xh, yh = tracked_config.example_batch()
+    x = jax.device_put(xh, device)
+    y = jax.device_put(yh, device)
 
     results = {}
     for name, flags in matrix.items():

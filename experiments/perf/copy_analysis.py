@@ -23,41 +23,23 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 sys.path.insert(0, "/root/repo")
 
-from torch_em_tpu.loss import DiceLoss
-from torch_em_tpu.models import AnisotropicUNet
 from torch_em_tpu.models.unet import perf_options
-from torch_em_tpu.trainer.optimizers import OptimizerSpec
 
 OUT = "/tmp/jax_trace_copy_analysis"
 
 
 def main():
     use_wpad = len(sys.argv) > 1 and sys.argv[1] == "wpad"
-    model = AnisotropicUNet(
-        in_channels=1, out_channels=1,
-        scale_factors=[[1, 2, 2], [1, 2, 2], [2, 2, 2], [2, 2, 2]],
-        initial_features=32, final_activation="Sigmoid", anisotropic_kernel=True,
-        dtype=jnp.bfloat16,
-    )
-    loss_obj = DiceLoss()
-    tx = OptimizerSpec("adamw", lr=1e-4).build()
+    import tracked_config
+
+    model, _, tx, train_step = tracked_config.build()
     device = jax.devices()[0]
     variables = jax.device_put(model.variables, device)
     opt_state = jax.device_put(tx.init(variables["params"]), device)
 
-    def train_step(variables, opt_state, x, y):
-        def loss_fn(p):
-            pred = model.module.apply({"params": p}, x, train=True)
-            return loss_obj(pred, y)
-
-        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
-        updates, opt_state_new = tx.update(grads, opt_state, variables["params"])
-        params = jax.tree_util.tree_map(lambda p, u: p + u, variables["params"], updates)
-        return {"params": params}, opt_state_new, loss
-
-    rng = np.random.default_rng(0)
-    x = jax.device_put(rng.random((1, 1, 32, 256, 256), dtype=np.float32), device)
-    y = jax.device_put((rng.random((1, 1, 32, 256, 256)) > 0.5).astype(np.float32), device)
+    xh, yh = tracked_config.example_batch()
+    x = jax.device_put(xh, device)
+    y = jax.device_put(yh, device)
 
     with perf_options(phase_wpad=use_wpad):
         step = jax.jit(train_step, donate_argnums=(0, 1))

@@ -30,50 +30,34 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-PATCH = (32, 256, 256)
-BATCH = 1
+sys.path.insert(0, HERE)
+
+from tracked_config import BATCH, PATCH  # noqa: E402  (shared tracked config)
 
 
 def main():
     quick = "quick" in sys.argv[1:]
     import h5py
-    import jax.numpy as jnp
     import tempfile
 
     from torch_em_tpu.data import DataLoader as TemLoader, SegmentationDataset
-    from torch_em_tpu.loss import DiceLoss
-    from torch_em_tpu.models import AnisotropicUNet
     from torch_em_tpu.ops.device import DeviceAffinityTransform
-    from torch_em_tpu.trainer.optimizers import OptimizerSpec
     from torch_em_tpu.transforms.label import AffinityTransform
 
+    import tracked_config
+
     device = jax.devices()[0]
-    model = AnisotropicUNet(
-        in_channels=1, out_channels=1,
-        scale_factors=[[1, 2, 2], [1, 2, 2], [2, 2, 2], [2, 2, 2]],
-        initial_features=32, final_activation="Sigmoid", anisotropic_kernel=True,
-        dtype=jnp.bfloat16)
-    loss_obj = DiceLoss()
-    tx = OptimizerSpec("adamw", lr=1e-4).build()
+    model, loss_obj, tx, base_step = tracked_config.build()
     variables = jax.device_put(model.variables, device)
     opt_state = jax.device_put(tx.init(variables["params"]), device)
 
     def make_step(device_transform):
-        trafo = DeviceAffinityTransform(offsets=[[-1, 0, 0]]) if device_transform else None
+        if not device_transform:
+            return jax.jit(base_step, donate_argnums=(0, 1))
+        trafo = DeviceAffinityTransform(offsets=[[-1, 0, 0]])
 
-        def train_step(variables, opt_state, x, y):
-            if trafo is not None:
-                y = trafo(y)
-
-            def loss_fn(p):
-                pred = model.module.apply({"params": p}, x, train=True)
-                return loss_obj(pred, y)
-
-            loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
-            updates, opt_state_new = tx.update(grads, opt_state, variables["params"])
-            params = jax.tree_util.tree_map(lambda p, u: p + u,
-                                            variables["params"], updates)
-            return {"params": params}, opt_state_new, loss
+        def train_step(variables, opt_state, x, ylab):
+            return base_step(variables, opt_state, x, trafo(ylab))
 
         return jax.jit(train_step, donate_argnums=(0, 1))
 

@@ -77,6 +77,18 @@ def _read_or_create_split(path: str, all_patch_ids: List[int], split: str) -> Li
     """Random 80/20 train/test split of patch ids, persisted as JSON so every
     later call (and process) sees the same assignment."""
     split_path = os.path.join(path, "pcns_split.json")
+    legacy_csv = os.path.join(path, "pcns_split.csv")
+    if not os.path.exists(split_path) and os.path.exists(legacy_csv):
+        # migrate the pre-round-5 pandas one-row CSV (columns train/test with
+        # stringified id lists) so existing data dirs keep their assignment
+        import csv
+
+        with open(legacy_csv, newline="") as f:
+            row = next(csv.DictReader(f))
+        assignment = {k: sorted(json.loads(row[k].replace("'", '"')))
+                      for k in ("train", "test")}
+        with open(split_path, "w") as f:
+            json.dump(assignment, f)
     if not os.path.exists(split_path):
         ids = np.random.permutation(sorted(all_patch_ids))
         n_test = int(round(0.2 * len(ids)))

@@ -552,10 +552,14 @@ def _mask_shifted(x, c, e=0):
     return x * jnp.asarray(mh, x.dtype) * jnp.asarray(mw, x.dtype)
 
 
-# route the phase-pool group max through the no-tie-normalization custom VJP
-# (False = plain AD reduce_max backward, kept A/B-able: the custom backward
-# trades the AD tie-count arithmetic for layout copies around its eq mask)
-GROUPMAX_VJP = True
+# route the phase-pool group max through the no-tie-normalization custom VJP.
+# Default False (plain AD reduce_max backward): under bf16 activations equal
+# positive values across phase groups are common, not measure-zero, and the
+# custom backward would deliver the FULL gradient to every tied position
+# (k*g on a k-way tie) where AD splits g/k — an invalid subgradient on ties.
+# The round-5 on-chip A/B measured the two within 0.02 ms/it (ab_matrix.json),
+# so correctness wins and the switch stays only for re-audits.
+GROUPMAX_VJP = False
 
 
 @jax.custom_vjp

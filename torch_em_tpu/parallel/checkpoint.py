@@ -76,16 +76,24 @@ def restore_sharded_checkpoint(path: str, like: Any,
 
     ocp = _orbax()
     if ocp is not None and os.path.isdir(path):
-        def _abstract(leaf, sh):
-            leaf = jax.numpy.asarray(leaf)
-            return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=sh)
+        import numpy as np
+
+        def _spec(leaf):
+            # shape/dtype without materializing device arrays or
+            # device-putting host templates
+            shape = np.shape(leaf)
+            dtype = getattr(leaf, "dtype", None)
+            if dtype is None:
+                dtype = np.asarray(leaf).dtype
+            return shape, np.dtype(dtype)
+
+        def _abstract(leaf, sh=None):
+            shape, dtype = _spec(leaf)
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=sh)
 
         abstract = (jax.tree_util.tree_map(_abstract, like, shardings)
                     if shardings is not None else
-                    jax.tree_util.tree_map(
-                        lambda leaf: jax.ShapeDtypeStruct(
-                            jax.numpy.asarray(leaf).shape, jax.numpy.asarray(leaf).dtype),
-                        like))
+                    jax.tree_util.tree_map(_abstract, like))
         with ocp.StandardCheckpointer() as ckptr:
             return ckptr.restore(path, abstract)
 

@@ -816,7 +816,18 @@ def convert_to_onnx(spec_path, opset_version=12):
     import torch
 
     folder = spec_path if os.path.isdir(spec_path) else os.path.dirname(spec_path)
-    _, mirror, example = _build_mirror_for_package(folder)
+    model, mirror, example = _build_mirror_for_package(folder)
+    # same gate as the torchscript path: the mirror (what gets exported) must
+    # reproduce the native model before anything is written into the package
+    with torch.no_grad():
+        out_mirror = mirror(torch.from_numpy(
+            np.ascontiguousarray(example.astype("float32")))).numpy()
+    out_native = np.asarray(model(example))
+    if not np.allclose(out_native, out_mirror, atol=1e-4):
+        raise RuntimeError(
+            f"torch mirror diverges from the native model "
+            f"(max |d| = {np.abs(out_native - out_mirror).max():.3e}); "
+            f"refusing to export ONNX weights")
     out_path = os.path.join(folder, "weights.onnx")
     try:
         torch.onnx.export(
