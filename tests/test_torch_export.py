@@ -299,3 +299,39 @@ class TestTorchscriptExport:
             import os
             convert_to_onnx(folder)
             assert os.path.exists(os.path.join(folder, "weights.onnx"))
+
+    def test_torchscript_anisotropic_3d(self, tmp_path):
+        """The 3D path: anisotropic per-level scales + (1,3,3) kernels must
+        survive the shape-driven mirror reconstruction and trace."""
+        import json
+        import os
+
+        import jax
+        import yaml
+        from flax import serialization as flax_serialization
+
+        from torch_em_tpu.models import AnisotropicUNet
+        from torch_em_tpu.utils.modelzoo import add_weight_formats
+
+        model = AnisotropicUNet(
+            in_channels=1, out_channels=1, scale_factors=[[1, 2, 2], [2, 2, 2]],
+            initial_features=4, anisotropic_kernel=True,
+            final_activation="Sigmoid", seed=7)
+        folder = str(tmp_path)
+        state = flax_serialization.to_state_dict(jax.device_get(model.variables))
+        with open(os.path.join(folder, "weights.msgpack"), "wb") as f:
+            f.write(flax_serialization.msgpack_serialize(state))
+        with open(os.path.join(folder, "model_manifest.json"), "w") as f:
+            json.dump({"factory": "torch_em_tpu.models.unet.AnisotropicUNet",
+                       "kwargs": model.init_kwargs}, f)
+        with open(os.path.join(folder, "rdf.yaml"), "w") as f:
+            yaml.safe_dump({"weights": {"jax": {"source": "weights.msgpack"}}}, f)
+        x = np.random.RandomState(2).rand(1, 1, 4, 32, 32).astype("float32")
+        np.save(os.path.join(folder, "test_input.npy"), x)
+        np.save(os.path.join(folder, "test_output.npy"), np.asarray(model(x)))
+
+        add_weight_formats(folder, ["torchscript"])
+        loaded = torch.jit.load(os.path.join(folder, "weights_torchscript.pt"))
+        with torch.no_grad():
+            out_ts = loaded(torch.from_numpy(x)).numpy()
+        np.testing.assert_allclose(np.asarray(model(x)), out_ts, atol=1e-4, rtol=1e-3)
